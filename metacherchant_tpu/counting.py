@@ -1,0 +1,152 @@
+"""K-mer counting drivers: stream reads -> device extraction -> device table.
+
+TPU-native redesign of the reference counting stack
+(src/io/IOUtils.java:200-248 loadReads; src/io/ReadsDispatcher.java:34-53;
+src/io/LargeKIOUtils.java:40-88 hashed regime): instead of a thread pool
+mutating a striped shared map, reads are packed host-side into fixed-shape
+(B, L) code batches, canonical keys are extracted with one fused scan on
+device, and unique (key, count) pairs are aggregated into the HBM-resident
+open-addressing table. Long fragments are chunked with k-1 overlap so every
+window is represented exactly once.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Iterable, Iterator
+
+import numpy as np
+import jax.numpy as jnp
+
+from .kmer_map import KmerMap
+from .ops.kmers import canonical_kmers, pack_reads, hash_str
+from .ops.hashtable import DeviceHashTable
+from .io.readers import iter_reads_split
+from .dna import canonical_code, kmer_to_code, split_on_n
+
+logger = logging.getLogger("metacherchant")
+
+DEFAULT_BATCH = 4096
+DEFAULT_LEN = 256
+
+
+def _chunk_fragment(frag: np.ndarray, k: int, max_len: int) -> Iterator[np.ndarray]:
+    """Split a long fragment into <=max_len windows with k-1 overlap."""
+    if len(frag) <= max_len:
+        yield frag
+        return
+    stride = max_len - (k - 1)
+    for start in range(0, len(frag) - (k - 1), stride):
+        yield frag[start:start + max_len]
+
+
+def iter_fragments(files: Iterable[str], k: int, min_len: int,
+                   max_len: int) -> Iterator[np.ndarray]:
+    """All countable fragments from the input files.
+
+    min_len mirrors loadReads' minSeqLen filter applied to the whole read
+    (src/io/IOUtils.java:199-214: splitting happens in the reader, the length
+    filter applies per emitted fragment)."""
+    for f in files:
+        for frag in iter_reads_split(str(f)):
+            if len(frag) < max(min_len, k):
+                continue
+            yield from _chunk_fragment(frag, k, max_len)
+
+
+def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
+                       min_len: int = 0, batch: int = DEFAULT_BATCH,
+                       max_len: int = DEFAULT_LEN,
+                       table_log2: int = 20) -> KmerMap:
+    """Count canonical k-mers of all reads into a KmerMap (device hot path)."""
+    table = DeviceHashTable(capacity_log2=table_log2)
+    buf: list[np.ndarray] = []
+    n_reads = 0
+    total_len = 0
+
+    def flush():
+        if not buf:
+            return
+        packed = pack_reads(buf, batch, max_len)
+        table.count_insert_codes(jnp.asarray(packed), k, hasher)
+        buf.clear()
+
+    for frag in iter_fragments(files, k, min_len, max_len):
+        buf.append(frag)
+        n_reads += 1
+        total_len += len(frag)
+        if len(buf) == batch:
+            flush()
+            if n_reads % (50 * batch) == 0:
+                logger.debug("counted %d fragments, table size %d", n_reads, table.size)
+    flush()
+    logger.debug("k-mers HM size = %d", table.size)
+    keys, counts = table.items_host()
+    return KmerMap(keys, counts)
+
+
+def count_kmers_host(files: Iterable[str], k: int, hasher: str | None = None,
+                     min_len: int = 0) -> KmerMap:
+    """Pure-host oracle counter (slow; tests and tiny inputs).
+
+    Mirrors ShortKmer.kmersOf + addAndBound exactly (src/io/IOUtils.java:200-214).
+    """
+    counts: dict[int, int] = {}
+    for f in files:
+        for frag in iter_reads_split(str(f)):
+            if len(frag) < max(min_len, k):
+                continue
+            _count_codes_into(counts, frag, k, hasher)
+    return KmerMap.from_dict(counts)
+
+
+def count_sequences_host(seqs: Iterable[str], k: int,
+                         hasher: str | None = None) -> KmerMap:
+    """Count k-mers of in-memory sequences (host)."""
+    from .dna import encode
+    counts: dict[int, int] = {}
+    for s in seqs:
+        for frag in split_on_n(encode(s)):
+            if len(frag) >= k:
+                _count_codes_into(counts, frag, k, hasher)
+    return KmerMap.from_dict(counts)
+
+
+def _count_codes_into(counts: dict[int, int], codes: np.ndarray, k: int,
+                      hasher: str | None) -> None:
+    if hasher is None:
+        fw = 0
+        rc = 0
+        mask = (1 << (2 * k)) - 1
+        shift = 2 * k - 2
+        for i, c in enumerate(codes):
+            c = int(c)
+            fw = ((fw << 2) | c) & mask
+            rc = (rc >> 2) | ((3 - c) << shift)
+            if i >= k - 1:
+                key = min(fw, rc)
+                counts[key] = counts.get(key, 0) + 1
+    else:
+        from .dna import decode
+        s = decode(codes)
+        for i in range(len(s) - k + 1):
+            key = hash_str(s[i:i + k], hasher)
+            counts[key] = counts.get(key, 0) + 1
+
+
+def seed_keys_of_sequence(seq: str, k: int, hasher: str | None) -> np.ndarray:
+    """Canonical keys of every k-window of a sequence, in order (host)."""
+    n = len(seq) - k + 1
+    if n <= 0:
+        return np.empty(0, np.int64)
+    if hasher is None:
+        out = np.empty(n, np.int64)
+        code = kmer_to_code(seq[:k])
+        out[0] = canonical_code(code, k)
+        mask = (1 << (2 * k)) - 1
+        from .dna import CHAR_TO_CODE
+        for i in range(1, n):
+            code = ((code << 2) | int(CHAR_TO_CODE[ord(seq[i + k - 1])])) & mask
+            out[i] = canonical_code(code, k)
+        return out.astype(np.int64)
+    return np.fromiter(
+        (hash_str(seq[i:i + k], hasher) for i in range(n)), np.int64, n)

@@ -1,0 +1,92 @@
+"""KmerMap: immutable canonical-kmer -> count map as sorted arrays.
+
+This is the host-facing view of the counted de Bruijn graph. The mutable,
+device-resident build-time structure is ops.hashtable.DeviceHashTable; once
+counting finishes the table is frozen into sorted (keys, counts) arrays which
+support O(log n) vectorized membership/count queries on host (np.searchsorted)
+and on device (jnp.searchsorted) -- the probe path used by BFS and classifiers.
+
+Count semantics per the reference map (itmo:structures/map/Long2ShortHashMap.java):
+get() of an absent key -> -1 (:159-175), counts saturate at 32767
+(itmo:utils/NumUtils.java:21-26).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+SATURATION = 32767
+
+
+class KmerMap:
+    def __init__(self, keys: np.ndarray, counts: np.ndarray):
+        assert keys.ndim == 1 and keys.shape == counts.shape
+        self.keys = np.ascontiguousarray(keys, dtype=np.int64)
+        self.counts = np.ascontiguousarray(
+            np.minimum(counts, SATURATION), dtype=np.int32)
+        self._device = None
+
+    @staticmethod
+    def from_pairs(keys: np.ndarray, counts: np.ndarray) -> "KmerMap":
+        """Build from possibly-unsorted, possibly-duplicated pairs (counts sum)."""
+        keys = np.asarray(keys, np.int64)
+        counts = np.asarray(counts, np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys, counts = keys[order], counts[order]
+        if keys.size:
+            first = np.concatenate([[True], keys[1:] != keys[:-1]])
+            idx = np.flatnonzero(first)
+            keys = keys[idx]
+            counts = np.add.reduceat(counts, idx)
+        return KmerMap(keys, np.minimum(counts, SATURATION))
+
+    @staticmethod
+    def from_dict(d: dict[int, int]) -> "KmerMap":
+        if not d:
+            return KmerMap(np.empty(0, np.int64), np.empty(0, np.int32))
+        keys = np.fromiter(d.keys(), np.int64, len(d))
+        counts = np.fromiter(d.values(), np.int64, len(d))
+        return KmerMap.from_pairs(keys, counts)
+
+    def __len__(self) -> int:
+        return self.keys.size
+
+    def get_many(self, query: np.ndarray) -> np.ndarray:
+        """Vectorized count lookup; absent -> -1."""
+        query = np.asarray(query, np.int64)
+        if self.keys.size == 0:
+            return np.full(query.shape, -1, np.int32)
+        pos = np.searchsorted(self.keys, query)
+        pos_c = np.minimum(pos, self.keys.size - 1)
+        hit = self.keys[pos_c] == query
+        out = np.where(hit, self.counts[pos_c], -1).astype(np.int32)
+        return out
+
+    def get(self, key: int) -> int:
+        return int(self.get_many(np.array([key], np.int64))[0])
+
+    def contains(self, query: np.ndarray) -> np.ndarray:
+        return self.get_many(query) >= 0
+
+    # ---- device side ----
+    def device_arrays(self) -> tuple[jax.Array, jax.Array]:
+        if self._device is None:
+            self._device = (jnp.asarray(self.keys), jnp.asarray(self.counts))
+        return self._device
+
+    def lookup_device(self, query: jax.Array) -> jax.Array:
+        dkeys, dcounts = self.device_arrays()
+        return _lookup_sorted(dkeys, dcounts, query)
+
+
+@functools.partial(jax.jit)
+def _lookup_sorted(keys: jax.Array, counts: jax.Array, query: jax.Array) -> jax.Array:
+    if keys.shape[0] == 0:
+        return jnp.full(query.shape, -1, jnp.int32)
+    pos = jnp.searchsorted(keys, query)
+    pos_c = jnp.minimum(pos, keys.shape[0] - 1)
+    hit = keys[pos_c] == query
+    return jnp.where(hit, counts[pos_c], -1).astype(jnp.int32)
