@@ -1,0 +1,129 @@
+"""Unitig contraction over the doubled-node (k-mer, revcomp) graph.
+
+Faithful reimplementation of the reference's node model and merge loop
+(src/algo/OneSequenceCalculator.java:312-324 mergeNodes, :387-419
+initializeStructures, :434-451 doMerge; node model src/algo/SingleNode.java):
+
+- every canonical k-mer spawns a node pair (seq, revcomp) with mutual rc
+  pointers and ids 2i / 2i+1
+- adjacency: for node X with suffix s = X.seq[1:], X.rc.neighbors += all nodes
+  whose (k-1)-prefix equals s; the rc-pair of the same overlap inserts the
+  symmetric entry, so A in B.neighbors <=> B in A.neighbors
+- merge step: node n with exactly one neighbor m, m with exactly one neighbor,
+  and equal merge tag (isGeneNode; multi mode adds the graphs-membership set,
+  src/algo/MultiSequenceCalculator.java:120-122; FMT adds color,
+  src/algo/SeqEnvCalculator.java:208-225): concatenate sequences with k-1
+  overlap onto the surviving rc pair, delete n and m
+- deleted nodes are never referenced by surviving single-neighbor nodes
+  (invariant of the symmetric adjacency), and writers skip deleted nodes
+
+Node ids are assigned from the iteration order of the subgraph map; the Java
+HashMap order is JVM-dependent, so ids are NOT stable reference targets
+(SURVEY §7.3); we iterate keys in sorted order for run-to-run determinism.
+Golden comparisons are content-based (sequence sets / topology), not id-based.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Hashable, Iterable
+
+from ..dna import reverse_complement
+
+
+class Node:
+    __slots__ = ("seq", "id", "rc", "neighbors", "deleted", "is_gene", "color",
+                 "graphs")
+
+    def __init__(self, seq: str, node_id: int, is_gene: bool = False,
+                 color: str | None = None, graphs: frozenset | None = None):
+        self.seq = seq
+        self.id = node_id
+        self.rc: "Node" = None  # type: ignore
+        self.neighbors: list["Node"] = []
+        self.deleted = False
+        self.is_gene = is_gene
+        self.color = color
+        self.graphs = graphs
+
+    def min_id(self) -> int:
+        return min(self.id, self.rc.id)
+
+
+def build_node_graph(kmers: Iterable[str], k: int,
+                     is_gene: Callable[[str, str], bool] | None = None,
+                     color_of: Callable[[str], str | None] | None = None,
+                     graphs_of: Callable[[str], frozenset] | None = None) -> list[Node]:
+    """initializeStructures (OneSequenceCalculator.java:387-419): two nodes per
+    canonical k-mer + (k-1)-prefix index adjacency. `kmers` iteration order
+    defines ids."""
+    nodes: list[Node] = []
+    for seq in kmers:
+        rc = reverse_complement(seq)
+        gene = bool(is_gene(seq, rc)) if is_gene else False
+        color = color_of(seq) if color_of else ("GREEN" if gene else None)
+        graphs = graphs_of(seq) if graphs_of else None
+        a = Node(seq, len(nodes), gene, color, graphs)
+        b = Node(rc, len(nodes) + 1, gene, color, graphs)
+        a.rc, b.rc = b, a
+        nodes.extend((a, b))
+    by_prefix: dict[str, list[Node]] = {}
+    for n in nodes:
+        by_prefix.setdefault(n.seq[: k - 1], []).append(n)
+    for n in nodes:
+        suffix = n.seq[1:]
+        hit = by_prefix.get(suffix)
+        if hit:
+            n.rc.neighbors.extend(hit)
+    return nodes
+
+
+def _default_tag(n: Node) -> Hashable:
+    return n.is_gene
+
+
+def merge_nodes(first_plus: Node, second_minus: Node, k: int) -> None:
+    """mergeNodes (OneSequenceCalculator.java:312-324)."""
+    first_minus, second_plus = first_plus.rc, second_minus.rc
+    assert second_plus.seq[-(k - 1):] == first_plus.seq[: k - 1], \
+        "Labels should be merged, but can not"  # checkLabels (:445-449)
+    new_seq = second_plus.seq + first_plus.seq[k - 1:]
+    new_seq_rc = first_minus.seq + second_minus.seq[k - 1:]
+    second_plus.seq = new_seq
+    first_minus.seq = new_seq_rc
+    second_plus.rc = first_minus
+    first_minus.rc = second_plus
+    first_plus.deleted = second_minus.deleted = True
+
+
+def do_merge(nodes: list[Node], k: int,
+             tag: Callable[[Node], Hashable] = _default_tag) -> None:
+    """doMerge (OneSequenceCalculator.java:434-451): sweep to fixpoint."""
+    while True:
+        acted = False
+        for n in nodes:
+            if n.deleted or len(n.neighbors) != 1:
+                continue
+            other = n.neighbors[0]
+            if len(other.neighbors) != 1 or tag(n) != tag(other):
+                continue
+            merge_nodes(n, other, k)
+            acted = True
+        if not acted:
+            return
+
+
+def alive(nodes: list[Node]) -> list[Node]:
+    return [n for n in nodes if not n.deleted]
+
+
+def gene_kmer_checker(gene_seqs: list[str], k: int) -> Callable[[str, str], bool]:
+    """isGeneNode (OneSequenceCalculator.java:421-432): the gene sequence
+    contains the k-mer or its rc as a substring. At graph-build time node
+    sequences are exactly k long, so containment == window membership."""
+    windows: set[str] = set()
+    for s in gene_seqs:
+        for i in range(len(s) - k + 1):
+            windows.add(s[i:i + k])
+    def check(seq: str, rc: str) -> bool:
+        return seq in windows or rc in windows
+    return check
