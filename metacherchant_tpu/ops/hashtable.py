@@ -8,9 +8,9 @@ per-stripe locks; here a whole batch of unique keys is inserted per step with
 vectorized probe rounds:
 
   round: gather table keys at probe slots; matched keys scatter-add their
-  counts; keys landing on EMPTY slots elect one winner per slot via a
-  scatter-min of batch indices (deterministic tie-break), winners claim the
-  slot, losers advance to the next slot (linear probing), repeat.
+  counts; keys landing on EMPTY slots all scatter their key and read the slot
+  back -- the one lane that sees its own key wins the slot, losers advance to
+  the next slot (linear probing), repeat.
 
 Expected rounds ~ O(1/(1-load)); every round is pure gather/scatter over HBM.
 
@@ -60,33 +60,39 @@ def _mix64(x: jax.Array) -> jax.Array:
     return x
 
 
+MAX_PROBE_ROUNDS = 128  # load <= max_load keeps linear-probe runs far below this
+
+
 def _insert_unique_impl(tkeys, tcnts, bkeys, bcnts):
     """Insert a batch of UNIQUE keys (SENTINEL = skip) with counts.
+
+    Empty-slot election: all claimants scatter their key, then read the slot
+    back -- exactly one lane observes its own key and wins. Which lane wins is
+    implementation-defined (XLA duplicate-index scatter), but the MAP CONTENT
+    is identical either way (keys are unique; losers simply probe on), so the
+    result is content-deterministic. This avoids the O(capacity) per-round
+    temporary a scatter-min election would need.
 
     Returns (tkeys, tcnts, n_inserted_new:int32, overflowed:bool) -- all device.
     """
     C = tkeys.shape[0]
-    B = bkeys.shape[0]
     cmask = jnp.uint64(C - 1)
-    bidx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
     active0 = bkeys != EMPTY
     slot0 = (_mix64(bkeys) & cmask).astype(jnp.int32)
 
     def cond(state):
         _, _, active, _, rounds, _ = state
-        return jnp.logical_and(jnp.any(active), rounds < C)
+        return jnp.logical_and(jnp.any(active), rounds < MAX_PROBE_ROUNDS)
 
     def body(state):
         tkeys, tcnts, active, slot, rounds, new = state
         cur = tkeys[slot]
         match = jnp.logical_and(active, cur == bkeys)
         empty = jnp.logical_and(active, cur == EMPTY)
-        # elect one claimant per empty slot: scatter-min of batch index
+        # claim: scatter keys into empty slots, read back to see who won
         claim_slot = jnp.where(empty, slot, C)  # C = out-of-range -> dropped
-        owner = jnp.full((C,), B, jnp.int32).at[claim_slot].min(bidx, mode="drop")
-        winner = jnp.logical_and(empty, owner[slot] == bidx)
-        write_slot = jnp.where(winner, slot, C)
-        tkeys = tkeys.at[write_slot].set(bkeys, mode="drop")
+        tkeys = tkeys.at[claim_slot].set(bkeys, mode="drop")
+        winner = jnp.logical_and(empty, tkeys[slot] == bkeys)
         add_slot = jnp.where(jnp.logical_or(match, winner), slot, C)
         tcnts = tcnts.at[add_slot].add(bcnts, mode="drop")
         done = jnp.logical_or(match, winner)
@@ -161,7 +167,7 @@ def _count_insert_kernel(tkeys, tcnts, codes, k: int, hasher: str | None):
 class DeviceHashTable:
     """Device-resident key->count map with host-driven, sync-avoiding growth."""
 
-    def __init__(self, capacity_log2: int = 16, max_load: float = 0.7):
+    def __init__(self, capacity_log2: int = 16, max_load: float = 0.65):
         self.capacity = 1 << capacity_log2
         self.max_load = max_load
         self.tkeys = jnp.full((self.capacity,), EMPTY, jnp.int64)

@@ -1,0 +1,178 @@
+"""Multi-chip k-mer counting: DP over reads x hash-sharded table, ICI all-to-all.
+
+TPU-native replacement for the reference's only "distributed" mechanism -- a
+shared-memory striped hash map fed by a thread pool (SURVEY §2.3 P1/P2,
+itmo:structures/map/BigLong2ShortHashMap.java:63-89). Design:
+
+- 1D device mesh axis "d": every device is BOTH a reads worker (the read batch
+  is sharded over "d") and the owner of one table shard (keys are owned by
+  device mix64(key) mod n).
+- per step (shard_map over "d"):
+    1. extract canonical keys from the local batch shard (fused scan)
+    2. local dedup (sort + segment-sum) -- shrinks the wire volume to the
+       number of DISTINCT local keys
+    3. bucket unique keys by owner and all_to_all over ICI
+    4. insert received (key, count) pairs into the local table shard
+- deterministic by construction: insertion order within a shard never affects
+  the resulting map contents (counts are commutative sums; slot election is
+  only a layout detail).
+
+The all_to_all uses fixed per-destination capacity cap = ceil(local_unique /
+n) * SLACK; keys overflowing a bucket are RETAINED locally in an overflow
+buffer that is re-sent on the next step (never dropped), so correctness does
+not depend on the slack factor. With a well-mixed hash, bucket sizes
+concentrate tightly around the mean, so SLACK=2 practically never overflows.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.kmers import canonical_kmers, SENTINEL
+from ..ops.hashtable import _mix64, _insert_unique_impl, _batch_unique_impl
+
+
+def make_mesh(devices=None, axis: str = "d") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def _bucket_by_owner(keys: jax.Array, counts: jax.Array, n: int, cap: int):
+    """Pack (keys, counts) into (n, cap) per-destination buckets + overflow mask.
+
+    Keys are assigned rank-within-bucket by sorting on owner; entries whose
+    rank >= cap are flagged as overflow (kept, re-sent later)."""
+    owner = (_mix64(keys) % jnp.uint64(n)).astype(jnp.int32)
+    owner = jnp.where(keys == SENTINEL, n, owner)  # sentinels -> virtual bucket
+    order = jnp.argsort(owner, stable=True)
+    so, sk, sc = owner[order], keys[order], counts[order]
+    # rank within each owner group
+    idx = jnp.arange(so.shape[0], dtype=jnp.int32)
+    first_of_group = jnp.concatenate(
+        [jnp.zeros((1,), bool), so[1:] != so[:-1]])
+    group_start = jnp.where(first_of_group, idx, 0)
+    group_start = jax.lax.associative_scan(jnp.maximum, group_start)
+    rank = idx - group_start
+    ok = (rank < cap) & (so < n)
+    dest = jnp.where(ok, so * cap + rank, n * cap)
+    bk = jnp.full((n * cap + 1,), SENTINEL, jnp.int64).at[dest].set(
+        sk, mode="drop")[: n * cap]
+    bc = jnp.zeros((n * cap + 1,), jnp.int32).at[dest].set(
+        sc, mode="drop")[: n * cap]
+    ov_keys = jnp.where(ok | (so >= n), SENTINEL, sk)
+    ov_cnts = jnp.where(ok | (so >= n), 0, sc)
+    return bk.reshape(n, cap), bc.reshape(n, cap), ov_keys, ov_cnts
+
+
+def make_sharded_count_step(mesh: Mesh, k: int, hasher: str | None,
+                            slack: int = 2):
+    """Returns step(tkeys, tcnts, ov_keys, ov_cnts, codes) -> same tuple.
+
+    tkeys/tcnts: per-device table shards, sharded over axis "d" (dim 0).
+    ov_keys/ov_cnts: per-device overflow carry, sharded over "d".
+    codes: (B, L) read batch, B sharded over "d".
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+
+    def local_step(tkeys, tcnts, ov_keys, ov_cnts, codes):
+        # shard_map gives blocks with a leading singleton shard dim
+        tkeys, tcnts = tkeys[0], tcnts[0]
+        ov_keys, ov_cnts = ov_keys[0], ov_cnts[0]
+        keys, _ = canonical_kmers(codes, k, hasher)
+        flat = jnp.concatenate([keys.ravel(), ov_keys])
+        cnts = jnp.concatenate(
+            [jnp.ones(keys.size, jnp.int32), ov_cnts])
+        # local dedup with counts (overflow carries weights > 1)
+        ukeys, ucnts = _weighted_unique(flat, cnts)
+        cap = -(-ukeys.shape[0] // n) * slack
+        bk, bc, ovk, ovc = _bucket_by_owner(ukeys, ucnts, n, cap)
+        rk = jax.lax.all_to_all(bk, axis, split_axis=0, concat_axis=0,
+                                tiled=True)
+        rc = jax.lax.all_to_all(bc, axis, split_axis=0, concat_axis=0,
+                                tiled=True)
+        ruk, ruc = _weighted_unique(rk.ravel(), rc.ravel())
+        tkeys, tcnts, _, _ = _insert_unique_impl(tkeys, tcnts, ruk, ruc)
+        # compact overflow carry to a fixed small buffer
+        ovk2, ovc2 = _weighted_unique(ovk, ovc)
+        m = ov_keys.shape[0]
+        return (tkeys[None], tcnts[None], ovk2[:m][None], ovc2[:m][None])
+
+    spec = P(axis)
+    return jax.jit(shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, P(axis, None)),
+        out_specs=(spec, spec, spec, spec),
+        check_vma=False,
+    ), donate_argnums=(0, 1, 2, 3))
+
+
+def _weighted_unique(keys: jax.Array, counts: jax.Array):
+    """Sort keys, sum counts per distinct key; padded with SENTINEL/0."""
+    order = jnp.argsort(keys)
+    s, c = keys[order], counts[order]
+    n = s.shape[0]
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    seg = (jnp.cumsum(first) - 1).astype(jnp.int32)
+    w = jnp.where(s == SENTINEL, 0, c)
+    ucnts = jax.ops.segment_sum(w, seg, num_segments=n)
+    ukeys = jax.ops.segment_max(s, seg, num_segments=n)
+    ukeys = jnp.where(ucnts > 0, ukeys, SENTINEL)
+    ucnts = jnp.where(ukeys == SENTINEL, 0, ucnts)
+    return ukeys, ucnts
+
+
+class ShardedCounter:
+    """Multi-device streaming counter facade."""
+
+    def __init__(self, mesh: Mesh, k: int, hasher: str | None = None,
+                 capacity_log2_per_shard: int = 16, batch: int = 1024,
+                 max_len: int = 256, overflow_buf: int = 4096):
+        self.mesh = mesh
+        self.k = k
+        self.hasher = hasher
+        self.n = mesh.devices.size
+        self.batch = batch
+        self.max_len = max_len
+        cap = 1 << capacity_log2_per_shard
+        axis = mesh.axis_names[0]
+        self.sharding = jax.NamedSharding(mesh, P(axis))
+        self.batch_sharding = jax.NamedSharding(mesh, P(axis, None))
+        self.tkeys = jax.device_put(
+            jnp.full((self.n, cap), SENTINEL, jnp.int64), self.sharding)
+        self.tcnts = jax.device_put(
+            jnp.zeros((self.n, cap), jnp.int32), self.sharding)
+        self.ov_keys = jax.device_put(
+            jnp.full((self.n, overflow_buf), SENTINEL, jnp.int64), self.sharding)
+        self.ov_cnts = jax.device_put(
+            jnp.zeros((self.n, overflow_buf), jnp.int32), self.sharding)
+        self.step = make_sharded_count_step(mesh, k, hasher)
+
+    def add_codes(self, codes: np.ndarray) -> None:
+        """codes: (B, L) int32 with B divisible by n."""
+        dev = jax.device_put(jnp.asarray(codes), self.batch_sharding)
+        self.tkeys, self.tcnts, self.ov_keys, self.ov_cnts = self.step(
+            self.tkeys, self.tcnts, self.ov_keys, self.ov_cnts, dev)
+
+    def drain(self) -> None:
+        """Flush any overflow carry with empty batches until clean."""
+        empty = np.full((self.n, self.max_len), -1, np.int32)
+        for _ in range(64):
+            if not bool(jnp.any(self.ov_keys != SENTINEL)):
+                return
+            self.add_codes(empty)
+        raise RuntimeError("overflow carry failed to drain")
+
+    def items_host(self) -> tuple[np.ndarray, np.ndarray]:
+        self.drain()
+        tk = np.asarray(self.tkeys).ravel()
+        tc = np.asarray(self.tcnts).ravel()
+        live = tk != SENTINEL
+        keys, cnts = tk[live], tc[live]
+        order = np.argsort(keys, kind="stable")
+        return keys[order], np.minimum(cnts[order], 32767)

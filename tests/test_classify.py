@@ -1,0 +1,165 @@
+"""Classifier math: vectorized implementation vs a direct scalar oracle of the
+Java findRead/delta/correction code, plus CLI round trips."""
+import math
+import os
+
+import numpy as np
+import pytest
+
+from metacherchant_tpu.kmer_map import KmerMap
+from metacherchant_tpu.counting import count_sequences_host
+from metacherchant_tpu.algo.classify import (
+    ReadBatch, find_reads, batch_widths, rolling_keys_np,
+    triple_verdict_pass1, triple_verdict_pass2, FOUND, HALF_FOUND, NOT_FOUND)
+from metacherchant_tpu.io.readers import DnaQ
+from metacherchant_tpu.ops.kmers import hash_str
+from metacherchant_tpu.dna import decode
+
+
+def oracle_find_read(seq_codes, kmap, k, hasher, z, threshold):
+    """Direct transcription of findRead (ReadsFinderInGraph.java:37-48)."""
+    n = len(seq_codes)
+    if n < k:
+        return False
+    s = decode(np.where(seq_codes < 0, 0, seq_codes))
+    cov = []
+    for i in range(n - k + 1):
+        c = kmap.get(hash_str(s[i:i + k], hasher))
+        cov.append(max(c, 0))
+    cov_mean = (sum(cov) + cov[-1] * (k - 1)) / n
+    width = (sum(1 for c in cov if c > 0) + (1 if cov[-1] > 0 else 0) * (k - 1)) / n
+    theory = 1.0 - math.exp(-cov_mean)
+    std = z * math.sqrt(math.exp(-cov_mean) * (1 - math.exp(-cov_mean)) / n)
+    ok = width == 1 or (width != 0 and -std <= width - theory <= std)
+    return (not (width < threshold)) and ok
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(11)
+    genome = "".join(rng.choice(list("ACGT"), size=1500))
+    kmap = count_sequences_host([genome] * 3, 15)  # counts = 3
+    reads = []
+    for _ in range(60):
+        s = int(rng.integers(0, 1400))
+        ln = int(rng.integers(10, 90))
+        reads.append(genome[s:s + ln])
+    # some random (not-in-graph) reads
+    for _ in range(30):
+        ln = int(rng.integers(20, 90))
+        reads.append("".join(rng.choice(list("ACGT"), size=ln)))
+    # chimeric half-half
+    for _ in range(20):
+        s = int(rng.integers(0, 1400))
+        half = genome[s:s + 30]
+        rand = "".join(rng.choice(list("ACGT"), size=30))
+        reads.append(half + rand)
+    return kmap, reads
+
+
+@pytest.mark.parametrize("z,thr", [(1.0, 0.9), (1.96, 0.5)])
+def test_find_reads_vs_oracle(setup, z, thr):
+    kmap, reads = setup
+    dnaqs = [DnaQ.from_string(r, 30) for r in reads]
+    batch = ReadBatch.from_dnaqs(dnaqs)
+    got = find_reads(batch, kmap, 15, None, z, thr)
+    for i, r in enumerate(reads):
+        exp = oracle_find_read(batch.codes[i, :len(r)], kmap, 15, None, z, thr)
+        assert got[i] == exp, (i, r)
+
+
+def test_widths_match_oracle(setup):
+    kmap, reads = setup
+    dnaqs = [DnaQ.from_string(r, 30) for r in reads]
+    batch = ReadBatch.from_dnaqs(dnaqs)
+    w = batch_widths(batch, kmap, 15, None)
+    k = 15
+    for i, r in enumerate(reads):
+        if len(r) < k:
+            assert w[i] == 0
+            continue
+        cov = [max(kmap.get(hash_str(r[j:j + k], None)), 0)
+               for j in range(len(r) - k + 1)]
+        exp = (sum(1 for c in cov if c > 0)
+               + (1 if cov[-1] > 0 else 0) * (k - 1)) / len(r)
+        assert abs(w[i] - exp) < 1e-12
+
+
+def test_correction_recovers_single_error(setup):
+    kmap, _ = setup
+    rng = np.random.default_rng(5)
+    # take a clean genome read, corrupt one base, mark it low-quality
+    keys = kmap  # noqa
+    genome_read = None
+    # reconstruct a read present in the graph: use any kmer string round trip
+    from metacherchant_tpu.counting import count_sequences_host as _
+    # build a fresh tiny scenario
+    genome = "".join(rng.choice(list("ACGT"), size=400))
+    km = count_sequences_host([genome], 15)
+    read = genome[50:110]
+    codes = DnaQ.from_string(read, 30)
+    corrupted = codes.codes.copy()
+    orig = corrupted[20]
+    corrupted[20] = (orig + 1) % 4
+    phred = codes.phred.copy()
+    phred[20] = 2  # low quality
+    batch = ReadBatch.from_dnaqs([DnaQ(corrupted, phred)])
+    assert not find_reads(batch, km, 15, None, 1.0, 0.9, do_correction=False)[0]
+    assert find_reads(batch, km, 15, None, 1.0, 0.9, do_correction=True)[0]
+
+
+def test_triple_verdict_rules():
+    # pass1: found -> FOUND; width >= half -> HALF; else NOT
+    f = np.array([True, False, False])
+    w = np.array([0.1, 0.5, 0.3])
+    assert triple_verdict_pass1(f, w, 0.4).tolist() == [FOUND, HALF_FOUND, NOT_FOUND]
+    # pass2 combination (TripleFinder2.java:63-80)
+    found = np.array([True, True, False, False, False])
+    width2 = np.array([1.0, 0.0, 0.9, 0.5, 0.1])
+    pass1 = np.array([FOUND, NOT_FOUND, FOUND, HALF_FOUND, NOT_FOUND])
+    got = triple_verdict_pass2(found, width2, pass1, 0.4)
+    assert got.tolist() == [FOUND, HALF_FOUND, HALF_FOUND, HALF_FOUND, NOT_FOUND]
+
+
+def test_rolling_keys_hashed_match():
+    rng = np.random.default_rng(3)
+    s = "".join(rng.choice(list("ACGT"), size=50))
+    codes = DnaQ.from_string(s).codes.astype(np.int32)[None, :]
+    for hasher in ("poly", "fnv1a"):
+        keys = rolling_keys_np(codes, 33, hasher)
+        for i in range(50 - 33 + 1):
+            assert keys[0, i] == hash_str(s[i:i + 33], hasher)
+
+
+def test_cli_reads_classifier(tmp_path):
+    from metacherchant_tpu.runner import main as runner_main
+    rng = np.random.default_rng(9)
+    genome = "".join(rng.choice(list("ACGT"), size=2000))
+    graph_reads = [genome[int(rng.integers(0, 1900)):][:80] for _ in range(300)]
+    in_graph = [genome[int(rng.integers(0, 1900)):][:70] for _ in range(20)]
+    random_reads = ["".join(rng.choice(list("ACGT"), size=70)) for _ in range(20)]
+    gpath = str(tmp_path / "graph.fastq")
+    with open(gpath, "w") as f:
+        for i, r in enumerate(graph_reads):
+            f.write(f"@g{i}\n{r}\n+\n{'I' * len(r)}\n")
+    r1 = str(tmp_path / "r1.fastq")
+    r2 = str(tmp_path / "r2.fastq")
+    with open(r1, "w") as f:
+        for i, r in enumerate(in_graph + random_reads):
+            f.write(f"@p{i}\n{r}\n+\n{'I' * len(r)}\n")
+    with open(r2, "w") as f:
+        for i, r in enumerate(in_graph + random_reads):
+            f.write(f"@p{i}\n{r}\n+\n{'I' * len(r)}\n")
+    out = str(tmp_path / "out")
+    rc = runner_main([
+        "-t", "reads-classifier", "-k", "21", "-i", gpath,
+        "-r", r1, r2, "-o", out, "--work-dir", str(tmp_path / "wd")])
+    assert rc == 0
+    for f in ("found_1.fastq", "found_2.fastq", "not_found_1.fastq",
+              "not_found_2.fastq", "found_s.fastq", "not_found_s.fastq"):
+        assert os.path.exists(os.path.join(out, f))
+    n_found = open(os.path.join(out, "found_1.fastq")).read().count("@")
+    n_not = open(os.path.join(out, "not_found_1.fastq")).read().count("@")
+    assert n_found >= 15       # most in-graph reads classified found
+    assert n_not >= 15         # most random reads not found
+    assert n_found + n_not <= 40

@@ -1,0 +1,158 @@
+"""End-to-end CLI test: environment-finder on synthetic reads, verified against
+an independently-computed oracle environment (sequential FIFO BFS)."""
+import os
+
+import numpy as np
+import pytest
+
+from metacherchant_tpu.runner import main as runner_main
+from metacherchant_tpu.counting import count_kmers_host
+from metacherchant_tpu.io.writers import load_graph_txt
+from metacherchant_tpu.dna import normalize, reverse_complement
+
+
+@pytest.fixture(scope="module")
+def synthetic(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("synth")
+    rng = np.random.default_rng(7)
+    genome = "".join(rng.choice(list("ACGT"), size=2000))
+    reads = []
+    for _ in range(400):
+        s = int(rng.integers(0, len(genome) - 60))
+        r = genome[s:s + 60]
+        if rng.random() < 0.5:
+            r = reverse_complement(r)
+        reads.append(r)
+    reads_path = str(tmp / "reads.fastq")
+    with open(reads_path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    gene = genome[800:900]
+    gene_path = str(tmp / "gene.fasta")
+    with open(gene_path, "w") as f:
+        f.write(f">mygene\n{gene}\n")
+    return tmp, reads_path, gene_path, gene
+
+
+def _oracle_env(reads_path, gene, k, cov, max_radius):
+    """Independent slow oracle: host counting + string-space FIFO BFS."""
+    kmap = count_kmers_host([reads_path], k)
+    from metacherchant_tpu.ops.kmers import hash_str
+
+    def occ(s):
+        return kmap.get(hash_str(s, None))
+
+    env = {}
+    for direction in (-1, 1):
+        dist = {}
+        queue = []
+        for i in range(len(gene) - k + 1):
+            w = gene[i:i + k]
+            if occ(w) >= cov:
+                dist.setdefault(w, 0)
+                queue.append(w)
+        head = 0
+        while head < len(queue):
+            cur = queue[head]
+            head += 1
+            d = dist[cur] + 1
+            nbrs = ([n + cur[:-1] for n in "AGCT"] if direction == -1
+                    else [cur[1:] + n for n in "AGCT"])
+            for nb in nbrs:
+                if occ(nb) >= cov and nb not in dist and d <= max_radius:
+                    dist[nb] = d
+                    queue.append(nb)
+        for s in dist:
+            env[normalize(s)] = occ(s)
+    return env
+
+
+def test_cli_end_to_end(synthetic):
+    tmp, reads_path, gene_path, gene = synthetic
+    out = str(tmp / "out")
+    wd = str(tmp / "wd")
+    rc = runner_main([
+        "-t", "environment-finder",
+        "-k", "21", "-i", reads_path, "--seq", gene_path,
+        "-o", out, "--coverage", "2", "--maxradius", "50",
+        "--work-dir", wd,
+    ])
+    assert rc == 0
+    graph_path = os.path.join(out, "mygene", "graph.txt")
+    assert os.path.exists(graph_path)
+    got = load_graph_txt(graph_path)
+    exp = _oracle_env(reads_path, gene, 21, 2, 50)
+    assert got == exp
+    # outputs exist
+    for f in ("seqs.fasta", "graph.gfa", "tsvs/nodes.tsv", "tsvs/edges.tsv"):
+        assert os.path.exists(os.path.join(out, "mygene", f))
+    # unitig S lines must reconstruct: every S seq's k-mers are in the env
+    for line in open(os.path.join(out, "mygene", "graph.gfa")):
+        if line.startswith("S"):
+            seq = line.split("\t")[2]
+            for i in range(len(seq) - 21 + 1):
+                assert normalize(seq[i:i + 21]) in got
+    # checkpoint: SUCCESS written; --continue skips
+    assert os.path.exists(os.path.join(wd, "SUCCESS"))
+    rc = runner_main([
+        "-t", "environment-finder",
+        "-k", "21", "-i", reads_path, "--seq", gene_path,
+        "-o", out, "--coverage", "2", "--maxradius", "50",
+        "--work-dir", wd, "--continue",
+    ])
+    assert rc == 0
+
+
+def test_cli_maxkmers_cap(synthetic):
+    tmp, reads_path, gene_path, gene = synthetic
+    out = str(tmp / "out_cap")
+    rc = runner_main([
+        "-t", "environment-finder",
+        "-k", "21", "-i", reads_path, "--seq", gene_path,
+        "-o", out, "--coverage", "2", "--maxkmers", "50",
+        "--work-dir", str(tmp / "wd_cap"),
+    ])
+    assert rc == 0
+    got = load_graph_txt(os.path.join(out, "mygene", "graph.txt"))
+    # cap applies per BFS pass over ORIENTED states before normalization-dedup;
+    # the admitted set per pass is <= seeds + 50
+    assert len(got) <= 2 * (50 + (len(gene) - 21 + 1))
+
+
+def test_cli_requires_termination(synthetic):
+    tmp, reads_path, gene_path, _ = synthetic
+    rc = runner_main([
+        "-t", "environment-finder",
+        "-k", "21", "-i", reads_path, "--seq", gene_path,
+        "-o", str(tmp / "out_err"), "--work-dir", str(tmp / "wd_err"),
+    ])
+    assert rc == 1  # neither --maxkmers nor --maxradius
+
+
+def test_cli_missing_reads_file(synthetic):
+    tmp, _, gene_path, _ = synthetic
+    rc = runner_main([
+        "-t", "environment-finder",
+        "-k", "21", "-i", str(tmp / "nope.fastq"), "--seq", gene_path,
+        "-o", str(tmp / "o2"), "--maxradius", "10",
+        "--work-dir", str(tmp / "wd2"),
+    ])
+    assert rc == 1
+
+
+def test_bothdirs_superset(synthetic):
+    """dir=0 (bothdirs) explores at least the union of dir=-1 and dir=+1."""
+    tmp, reads_path, gene_path, gene = synthetic
+    out1 = str(tmp / "out_b1")
+    out2 = str(tmp / "out_b2")
+    for out, both in ((out1, "false"), (out2, "true")):
+        rc = runner_main([
+            "-t", "environment-finder",
+            "-k", "21", "-i", reads_path, "--seq", gene_path,
+            "-o", out, "--coverage", "2", "--maxradius", "30",
+            "--bothdirs", both, "--work-dir", out + "_wd",
+        ])
+        assert rc == 0
+    e1 = load_graph_txt(os.path.join(out1, "mygene", "graph.txt"))
+    e2 = load_graph_txt(os.path.join(out2, "mygene", "graph.txt"))
+    assert set(e1) <= set(e2)

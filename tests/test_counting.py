@@ -1,0 +1,135 @@
+"""Counting drivers: device vs host oracle on files, formats, N-splitting."""
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from metacherchant_tpu.counting import (
+    count_kmers_device, count_kmers_host, count_sequences_host)
+from metacherchant_tpu.io.readers import (
+    detect_file_format, determine_quality_format, iter_reads_split,
+    read_rich_fasta)
+from metacherchant_tpu.io.writers import write_kmers_bin, read_kmers_bin
+from metacherchant_tpu.dna import decode
+
+
+def _write_fastq(path, reads, quality_char="I"):
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{quality_char * len(r)}\n")
+
+
+def _random_reads(rng, n, length, genome):
+    out = []
+    for _ in range(n):
+        s = rng.integers(0, len(genome) - length)
+        out.append(genome[s:s + length])
+    return out
+
+
+@pytest.fixture(scope="module")
+def genome():
+    rng = np.random.default_rng(42)
+    return "".join(rng.choice(list("ACGT"), size=3000))
+
+
+def test_device_vs_host_counting(tmp_path, genome):
+    rng = np.random.default_rng(0)
+    reads = _random_reads(rng, 200, 80, genome)
+    # inject N's to exercise splitting
+    reads[3] = reads[3][:20] + "N" + reads[3][21:]
+    reads[7] = "N" + reads[7][1:]
+    path = str(tmp_path / "reads.fastq")
+    _write_fastq(path, reads)
+    k = 21
+    dev = count_kmers_device([path], k, None, batch=64, max_len=64,
+                             table_log2=10)
+    host = count_kmers_host([path], k, None)
+    assert np.array_equal(dev.keys, host.keys)
+    assert np.array_equal(dev.counts, host.counts)
+
+
+@pytest.mark.parametrize("hasher", ["poly", "fnv1a"])
+def test_device_vs_host_counting_hashed(tmp_path, genome, hasher):
+    rng = np.random.default_rng(1)
+    reads = _random_reads(rng, 50, 60, genome)
+    path = str(tmp_path / "reads.fasta")
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    k = 33
+    dev = count_kmers_device([path], k, hasher, batch=32, max_len=80,
+                             table_log2=10)
+    host = count_kmers_host([path], k, hasher)
+    assert np.array_equal(dev.keys, host.keys)
+    assert np.array_equal(dev.counts, host.counts)
+
+
+def test_gzip_and_format_detection(tmp_path, genome):
+    rng = np.random.default_rng(2)
+    reads = _random_reads(rng, 30, 50, genome)
+    path = str(tmp_path / "reads.fastq.gz")
+    with gzip.open(path, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    assert detect_file_format(path) == "fastq.gz"
+    host = count_kmers_host([path], 15, None)
+    ref = count_sequences_host(reads, 15)
+    assert np.array_equal(host.keys, ref.keys)
+    assert np.array_equal(host.counts, ref.counts)
+
+
+def test_quality_autodetect(tmp_path):
+    sanger = str(tmp_path / "s.fastq")
+    _write_fastq(sanger, ["ACGTACGT"], quality_char="#")  # '#'=35 < 64
+    assert determine_quality_format(sanger) == "sanger"
+    illumina = str(tmp_path / "i.fastq")
+    _write_fastq(illumina, ["ACGTACGT"], quality_char="e")
+    assert determine_quality_format(illumina) == "illumina"
+
+
+def test_fastq_split_at_low_quality(tmp_path):
+    # phred 0 position splits the read (Trunc reader semantics)
+    path = str(tmp_path / "q.fastq")
+    with open(path, "w") as f:
+        f.write("@r0\nACGTACGTAA\n+\nIIII@IIIII\n")  # '@'=64 -> phred 0 (illumina)
+    frags = [decode(c) for c in iter_reads_split(path)]
+    assert frags == ["ACGT", "CGTAA"]
+
+
+def test_long_read_chunking(tmp_path, genome):
+    path = str(tmp_path / "long.fasta")
+    with open(path, "w") as f:
+        f.write(f">g\n{genome}\n")
+    k = 25
+    dev = count_kmers_device([path], k, None, batch=8, max_len=100,
+                             table_log2=10)
+    host = count_sequences_host([genome], k)
+    assert np.array_equal(dev.keys, host.keys)
+    assert np.array_equal(dev.counts, host.counts)
+
+
+def test_kmers_bin_roundtrip(tmp_path):
+    keys = np.array([-10, 5, 99, 2**40], np.int64)
+    counts = np.array([1, 3, 7, 2], np.int32)
+    p = str(tmp_path / "x.kmers.bin")
+    st = str(tmp_path / "x.stat.txt")
+    n = write_kmers_bin(p, st, keys, counts, threshold=1)
+    assert n == 3  # count > 1
+    rk, rc = read_kmers_bin(p)
+    assert rk.tolist() == [5, 99, 2**40]
+    assert rc.tolist() == [3, 7, 2]
+    assert os.path.getsize(p) == 30  # 10-byte records (src/io/KmersLoadWorker.java:9)
+    lines = open(st).read().splitlines()
+    assert lines[0] == "# k-mer frequency\tnumber of such k-mers"
+    assert lines[1] == "1\t1" and lines[2] == "2\t1"
+
+
+def test_rich_fasta_comments(tmp_path):
+    p = str(tmp_path / "g.fasta")
+    with open(p, "w") as f:
+        f.write(">gene_one extra\nACGT\nACGT\n;second\nTTTT\n")
+    recs = read_rich_fasta(p)
+    assert [(r.comment, r.seq) for r in recs] == [
+        ("gene_one extra", "ACGTACGT"), ("second", "TTTT")]
