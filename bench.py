@@ -3,17 +3,18 @@
 Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
 Progress goes to stderr.
 
-The reference publishes no performance numbers (BASELINE.md): vs_baseline is
-computed against EST_JAVA_RATE, an estimate of the reference's multithreaded
-JVM counting throughput (striped hash map insert path, ~40M canonical
-k-mers/s on a 32-core host -- itmo:structures/map/Long2ShortHashMap.java
-addAndBound hot loop). This anchors the ratio until a measured Java baseline
-exists.
+Measurement methodology (this rig's tunneled device has broken
+block_until_ready -- it returns before execution -- and a very expensive
+device->host readback of ~30-100s fixed latency): we time
+    T(M) = enqueue M dependent count-insert steps + one scalar readback
+for a small and a large M on identically fresh tables. The readback latency
+and compile time cancel in the difference, leaving pure per-step device time:
+    per_step = (T(M2) - T(M1)) / (M2 - M1).
 
-Environment notes: the session TPU is reached through a tunnel with slow
-device->host readback (~0.4 MB/s measured) and slow remote compiles; the
-bench therefore avoids ALL d2h transfers in the timed region and keeps one
-compiled shape.
+vs_baseline is computed against EST_JAVA_RATE, an estimate of the reference's
+multithreaded JVM counting throughput (striped hash map insert hot loop,
+itmo:structures/map/Long2ShortHashMap.java addAndBound; ~40M canonical
+k-mers/s on a 32-core host). The reference publishes no numbers (BASELINE.md).
 """
 import json
 import sys
@@ -26,47 +27,60 @@ import metacherchant_tpu  # noqa: F401  (x64)
 import jax
 import jax.numpy as jnp
 
-from metacherchant_tpu.ops.hashtable import DeviceHashTable
+from metacherchant_tpu.ops.hashtable import _count_insert_kernel, EMPTY
 
 EST_JAVA_RATE = 4.0e7  # est. reference JVM k-mers/s (see module docstring)
 
 K = 31
 BATCH = 4096
 LEN = 256
-STEPS = 10
-WARMUP = 3
-TABLE_LOG2 = 24  # 16M slots; ~4M distinct keys => load 0.25, no growth
+TABLE_LOG2 = 24  # 16M slots; ~4M distinct keys => low load, no growth
+M_SMALL = 2
+M_BIG = 42
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def run_chain(batches, m: int) -> float:
+    """Enqueue m dependent steps on a fresh table + one scalar readback."""
+    tk = jnp.full((1 << TABLE_LOG2,), EMPTY, jnp.int64)
+    tc = jnp.zeros((1 << TABLE_LOG2,), jnp.int32)
+    t0 = time.perf_counter()
+    new = None
+    for i in range(m):
+        tk, tc, new, _ = _count_insert_kernel(tk, tc, batches[i], K, None)
+    total_new = int(new)  # forced completion of the whole chain
+    dt = time.perf_counter() - t0
+    log(f"chain m={m}: {dt:.1f}s (last new={total_new})")
+    return dt
+
+
 def main() -> None:
     rng = np.random.default_rng(0)
-    # synthetic metagenome: reads sampled from a 4Mbp genome => realistic
-    # duplicate/distinct key mix for the insert path
     genome = rng.integers(0, 4, size=4_000_000).astype(np.int8)
-    starts = rng.integers(0, genome.size - LEN, size=(STEPS + WARMUP, BATCH))
     window = np.arange(LEN)
-    batches = [jnp.asarray(genome[s[:, None] + window[None, :]].astype(np.int32))
-               for s in starts]
+    batches = [
+        jnp.asarray(genome[rng.integers(0, genome.size - LEN, size=BATCH)[:, None]
+                           + window[None, :]].astype(np.int32))
+        for _ in range(M_BIG)
+    ]
     kmers_per_batch = BATCH * (LEN - K + 1)
 
-    table = DeviceHashTable(capacity_log2=TABLE_LOG2)
-    t0 = time.perf_counter()
-    for i in range(WARMUP):
-        table.count_insert_codes(batches[i], K, None)
-    jax.block_until_ready(table.tkeys)
-    log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+    # warm the compile cache so both timed chains are compile-free
+    tk = jnp.full((1 << TABLE_LOG2,), EMPTY, jnp.int64)
+    tc = jnp.zeros((1 << TABLE_LOG2,), jnp.int32)
+    tk, tc, new, _ = _count_insert_kernel(tk, tc, batches[0], K, None)
+    int(new)
+    del tk, tc
+    log("compile warm")
 
-    t0 = time.perf_counter()
-    for i in range(WARMUP, WARMUP + STEPS):
-        table.count_insert_codes(batches[i], K, None)
-    jax.block_until_ready(table.tkeys)
-    dt = time.perf_counter() - t0
-    rate = STEPS * kmers_per_batch / dt
-    log(f"steady state: {dt:.3f}s for {STEPS} batches")
+    t_small = run_chain(batches, M_SMALL)
+    t_big = run_chain(batches, M_BIG)
+    per_step = max(t_big - t_small, 1e-9) / (M_BIG - M_SMALL)
+    rate = kmers_per_batch / per_step
+    log(f"per-step {per_step:.3f}s")
 
     print(json.dumps({
         "metric": "kmer_count_throughput",
@@ -77,4 +91,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)

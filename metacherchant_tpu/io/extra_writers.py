@@ -1,0 +1,150 @@
+"""Additional graph writers: GML, Graphviz dot (+png), Velvet LastGraph.
+
+These are not called by any current reference tool (dead but
+capability-relevant code, SURVEY §2.1 'Other writers' row); formats replicate
+src/io/writers/{GMLWriter,GraphvizWriter,LastGraphWriter}.java including the
+GML 'writers [' header typo and the LastGraph '_oxa347' gene suffix.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+from ..algo.contraction import Node
+from ..io.writers import _ensure_dir
+
+
+def write_gml(path: str, nodes: list[Node], k: int) -> None:
+    """GMLWriter (src/io/writers/GMLWriter.java:42-87): 'writers [' header
+    replicated verbatim; node id = own index + 1 with _start suffix."""
+    _ensure_dir(path)
+
+    def node_id(n: Node) -> str:
+        return f"{n.id + 1}{'_start' if n.is_gene else ''}"
+
+    with open(path, "w") as out:
+        out.write("writers [\n")
+        for n in nodes:
+            if n.deleted:
+                continue
+            out.write("node [\n")
+            out.write(f'id "{node_id(n)}"\n')
+            out.write(f"length {len(n.seq)}\n")
+            out.write(f'seq "{n.seq}"\n')
+            out.write("]\n")
+        for n in nodes:
+            if n.deleted:
+                continue
+            # out-edges of n = successors = neighbors of n.rc
+            for m in n.rc.neighbors:
+                if not m.deleted:
+                    out.write("edge [\n")
+                    out.write(f'source "{node_id(n)}"\n')
+                    out.write(f'target "{node_id(m)}"\n')
+                    out.write("]\n")
+        out.write("]\n")
+
+
+def write_graphviz(dot_path: str, nodes: list[Node], k: int,
+                   subgraph: dict[str, int], make_png: bool = True) -> None:
+    """GraphvizWriter (src/io/writers/GraphvizWriter.java:52-108): labels are
+    'length:minfreq:maxfreq' over constituent k-mers; gene nodes bold red;
+    then 'dot -Tpng' if available."""
+    from ..dna import normalize
+    _ensure_dir(dot_path)
+
+    def freqs(seq: str) -> str:
+        lo, hi = None, None
+        for i in range(len(seq) - k + 1):
+            f = subgraph.get(seq[i:i + k], subgraph.get(normalize(seq[i:i + k]), 0))
+            lo = f if lo is None else min(lo, f)
+            hi = f if hi is None else max(hi, f)
+        return f":{lo}:{hi}"
+
+    with open(dot_path, "w") as out:
+        out.write("strict digraph G {\n")
+        for n in nodes:
+            if n.deleted:
+                continue
+            if n.is_gene:
+                out.write(f'{n.id + 1} [fontcolor=red style="bold" '
+                          f"label=<<B>{len(n.seq)}{freqs(n.seq)}</B>>]\n")
+            else:
+                out.write(f"{n.id + 1} [label=<{len(n.seq)}{freqs(n.seq)}>]\n")
+        for n in nodes:
+            if n.deleted:
+                continue
+            for m in n.rc.neighbors:
+                if not m.deleted:
+                    out.write(f'{n.id + 1}->{m.id + 1} [label=" {m.seq[k - 1]}"]\n')
+        out.write("}\n")
+    if make_png and shutil.which("dot"):
+        png = os.path.splitext(dot_path)[0] + ".png"
+        subprocess.Popen(["dot", "-Tpng", dot_path, "-o", png])
+
+
+def write_lastgraph(path: str, nodes: list[Node], k: int,
+                    subgraph: dict[str, int]) -> None:
+    """LastGraphWriter (src/io/writers/LastGraphWriter.java:33-86), incl. the
+    hardcoded '_oxa347' gene suffix and NODE/ARC line shapes."""
+    from ..dna import normalize
+    _ensure_dir(path)
+
+    def signed_id(n: Node) -> str:
+        sign = "" if n.id < n.rc.id else "-"
+        return f"{sign}{n.min_id() + 1}{'_oxa347' if n.is_gene else ''}"
+
+    def arc_second_id(n: Node) -> str:
+        sign = "" if n.id > n.rc.id else "-"
+        return f"{sign}{n.min_id() + 1}{'_oxa347' if n.is_gene else ''}"
+
+    alive = [n for n in nodes if not n.deleted]
+    with open(path, "w") as out:
+        out.write(f"{len(alive)} 0 {k} 1\n")
+        for n in nodes:
+            if n.deleted or n.id >= n.rc.id:
+                continue
+            cov = 0
+            for i in range(len(n.seq) - k + 1):
+                w = n.seq[i:i + k]
+                cov += subgraph.get(w, subgraph.get(normalize(w), 0))
+            out.write(f"NODE {signed_id(n)} {len(n.seq)} {cov} {cov} 0 0\n")
+            out.write(n.seq + "\n")
+            out.write(n.rc.seq + "\n")
+        for n in nodes:
+            if n.deleted:
+                continue
+            for m in n.neighbors:
+                out.write(f"ARC {signed_id(n)} {arc_second_id(m)}\n")
+
+
+def make_blast_db(cut_reads_files: list[str], db_prefix: str, logger) -> bool:
+    """ReadsCoverage shim (src/algo/ReadsCoverage.java:34-47): makeblastdb over
+    the cutReads files. Returns False when BLAST+ is unavailable."""
+    if shutil.which("makeblastdb") is None:
+        logger.info("makeblastdb not found on PATH; skipping BLAST database")
+        return False
+    _ensure_dir(db_prefix)
+    cmd = ["makeblastdb", "-in", " ".join(cut_reads_files), "-parse_seqids",
+           "-dbtype", "nucl", "-out", db_prefix]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    for line in (proc.stdout or "").splitlines():
+        logger.info(line)
+    return proc.returncode == 0
+
+
+def run_blast_filter(db_prefix: str, query_fasta: str, out_path: str,
+                     threads: int, logger) -> bool:
+    """Filter shim (src/algo/Filter.java:32-48): blastn -task blastn-short
+    -outfmt '6 qaccver length pident'."""
+    if shutil.which("blastn") is None:
+        logger.info("blastn not found on PATH; skipping BLAST filter")
+        return False
+    cmd = ["blastn", "-db", db_prefix, "-task", "blastn-short",
+           "-query", query_fasta, "-out", out_path,
+           "-num_threads", str(threads), "-outfmt", "6 qaccver length pident"]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    for line in (proc.stdout or "").splitlines():
+        logger.info(line)
+    return proc.returncode == 0

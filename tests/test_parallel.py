@@ -1,0 +1,91 @@
+"""Multi-device sharded counting on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from metacherchant_tpu.parallel.sharded_count import ShardedCounter, make_mesh
+from metacherchant_tpu.counting import count_sequences_host
+from metacherchant_tpu.dna import encode
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh()
+
+
+def _pack(seqs, batch, length):
+    codes = np.full((batch, length), -1, np.int32)
+    for j, s in enumerate(seqs):
+        c = encode(s)
+        codes[j, : len(c)] = c
+    return codes
+
+
+def test_sharded_count_matches_host(mesh):
+    rng = np.random.default_rng(0)
+    seqs = ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(64)]
+    k = 21
+    sc = ShardedCounter(mesh, k, None, capacity_log2_per_shard=12,
+                        batch=16, max_len=128)
+    for i in range(0, 64, 16):
+        sc.add_codes(_pack(seqs[i:i + 16], 16, 128))
+    keys, cnts = sc.items_host()
+    ref = count_sequences_host(seqs, k)
+    assert np.array_equal(keys, ref.keys)
+    assert np.array_equal(cnts, ref.counts)
+
+
+def test_sharded_count_hashed(mesh):
+    rng = np.random.default_rng(1)
+    seqs = ["".join(rng.choice(list("ACGT"), size=80)) for _ in range(32)]
+    k = 35
+    sc = ShardedCounter(mesh, k, "poly", capacity_log2_per_shard=12,
+                        batch=8, max_len=96)
+    for i in range(0, 32, 8):
+        sc.add_codes(_pack(seqs[i:i + 8], 8, 96))
+    keys, cnts = sc.items_host()
+    ref = count_sequences_host(seqs, k, "poly")
+    assert np.array_equal(keys, ref.keys)
+    assert np.array_equal(cnts, ref.counts)
+
+
+def test_sharded_overflow_carry(mesh):
+    """Tiny all_to_all capacity forces overflow carry; results must still be
+    exact (keys are retained and re-sent, never dropped)."""
+    rng = np.random.default_rng(2)
+    seqs = ["".join(rng.choice(list("ACGT"), size=120)) for _ in range(32)]
+    k = 15
+    from metacherchant_tpu.parallel import sharded_count as scmod
+    sc = ShardedCounter(mesh, k, None, capacity_log2_per_shard=12,
+                        batch=8, max_len=128, overflow_buf=8192)
+    # slack=1 monkeypatch: rebuild step with minimal bucket capacity
+    sc.step = scmod.make_sharded_count_step(mesh, k, None, slack=1)
+    for i in range(0, 32, 8):
+        sc.add_codes(_pack(seqs[i:i + 8], 8, 128))
+    keys, cnts = sc.items_host()
+    ref = count_sequences_host(seqs, k)
+    assert np.array_equal(keys, ref.keys)
+    assert np.array_equal(cnts, ref.counts)
+
+
+def test_graft_entry_single_chip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    jitted = jax.jit(fn)
+    out = jitted(*args)
+    assert len(out) == 4
+    assert int(out[2]) > 0  # inserted some keys
+
+
+def test_graft_entry_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ge.dryrun_multichip(8)
