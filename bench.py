@@ -43,17 +43,28 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# Tiny-output probe in its OWN executable, fetched via a cross-backend
+# device_put to the host CPU backend: the direct d2h readback path on this rig
+# costs minutes even for 8 bytes, while the cross-backend copy of a small
+# array completes in ~14s.
+_probe_fn = jax.jit(lambda tk: (tk[123] ^ tk[456]).astype(jnp.int32))
+
+
+def _probe(tk) -> int:
+    cpu = jax.devices("cpu")[0]
+    return int(np.asarray(jax.device_put(_probe_fn(tk), cpu)))
+
+
 def run_chain(batches, m: int) -> float:
-    """Enqueue m dependent steps on a fresh table + one scalar readback."""
+    """Enqueue m dependent steps on a fresh table + one tiny forced readback."""
     tk = jnp.full((1 << TABLE_LOG2,), EMPTY, jnp.int64)
     tc = jnp.zeros((1 << TABLE_LOG2,), jnp.int32)
     t0 = time.perf_counter()
-    new = None
     for i in range(m):
         tk, tc, new, _ = _count_insert_kernel(tk, tc, batches[i], K, None)
-    total_new = int(new)  # forced completion of the whole chain
+    v = _probe(tk)  # forced completion of the whole chain
     dt = time.perf_counter() - t0
-    log(f"chain m={m}: {dt:.1f}s (last new={total_new})")
+    log(f"chain m={m}: {dt:.1f}s (probe={v})")
     return dt
 
 
@@ -72,7 +83,7 @@ def main() -> None:
     tk = jnp.full((1 << TABLE_LOG2,), EMPTY, jnp.int64)
     tc = jnp.zeros((1 << TABLE_LOG2,), jnp.int32)
     tk, tc, new, _ = _count_insert_kernel(tk, tc, batches[0], K, None)
-    int(new)
+    _probe(tk)
     del tk, tc
     log("compile warm")
 
