@@ -3,13 +3,13 @@
 Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
 Progress goes to stderr.
 
-Measurement methodology (this rig's tunneled device has broken
-block_until_ready -- it returns before execution -- and a very expensive
-device->host readback of ~30-100s fixed latency): we time
-    T(M) = enqueue M dependent count-insert steps + one scalar readback
-for a small and a large M on identically fresh tables. The readback latency
-and compile time cancel in the difference, leaving pure per-step device time:
-    per_step = (T(M2) - T(M1)) / (M2 - M1).
+Measures the default counting engine (ops/sortcount.py: loop-free append +
+bulk-sort consolidation) with the difference method:
+    T(M) = enqueue M dependent count steps + one tiny forced readback
+for small and large M on fresh state; readback latency and compile time cancel
+in the difference (this rig's tunneled device has broken block_until_ready and
+minutes-scale direct readbacks; a cross-backend device_put of a scalar costs
+~2-15s and is the only reliable completion signal).
 
 vs_baseline is computed against EST_JAVA_RATE, an estimate of the reference's
 multithreaded JVM counting throughput (striped hash map insert hot loop,
@@ -27,42 +27,39 @@ import metacherchant_tpu  # noqa: F401  (x64)
 import jax
 import jax.numpy as jnp
 
-from metacherchant_tpu.ops.hashtable import _count_insert_kernel, EMPTY
+from metacherchant_tpu.ops.sortcount import StreamCounter
 
 EST_JAVA_RATE = 4.0e7  # est. reference JVM k-mers/s (see module docstring)
 
 K = 31
 BATCH = 4096
 LEN = 256
-TABLE_LOG2 = 24  # 16M slots; ~4M distinct keys => low load, no growth
+BUFFER_LOG2 = 26   # 64M-key append buffer: one consolidation per 64 batches
+STORE_LOG2 = 23    # 8M distinct capacity (4M genome keys)
 M_SMALL = 2
-M_BIG = 42
+M_BIG = 58
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-# Tiny-output probe in its OWN executable, fetched via a cross-backend
-# device_put to the host CPU backend: the direct d2h readback path on this rig
-# costs minutes even for 8 bytes, while the cross-backend copy of a small
-# array completes in ~14s.
-_probe_fn = jax.jit(lambda tk: (tk[123] ^ tk[456]).astype(jnp.int32))
+_probe_fn = jax.jit(lambda b: (b[123] ^ b[456]).astype(jnp.int32))
 
 
-def _probe(tk) -> int:
+def _probe(x) -> int:
     cpu = jax.devices("cpu")[0]
-    return int(np.asarray(jax.device_put(_probe_fn(tk), cpu)))
+    return int(np.asarray(jax.device_put(_probe_fn(x), cpu)))
 
 
 def run_chain(batches, m: int) -> float:
-    """Enqueue m dependent steps on a fresh table + one tiny forced readback."""
-    tk = jnp.full((1 << TABLE_LOG2,), EMPTY, jnp.int64)
-    tc = jnp.zeros((1 << TABLE_LOG2,), jnp.int32)
+    """Enqueue m count steps on fresh state + consolidation + tiny readback."""
+    sc = StreamCounter(buffer_cap_log2=BUFFER_LOG2, store_cap_log2=STORE_LOG2)
     t0 = time.perf_counter()
     for i in range(m):
-        tk, tc, new, _ = _count_insert_kernel(tk, tc, batches[i], K, None)
-    v = _probe(tk)  # forced completion of the whole chain
+        sc.add_codes(batches[i], K, None)
+    sc._consolidate()          # includes its own forced scalar sync
+    v = _probe(sc.store_keys)  # belt-and-braces completion of the store
     dt = time.perf_counter() - t0
     log(f"chain m={m}: {dt:.1f}s (probe={v})")
     return dt
@@ -79,12 +76,7 @@ def main() -> None:
     ]
     kmers_per_batch = BATCH * (LEN - K + 1)
 
-    # warm the compile cache so both timed chains are compile-free
-    tk = jnp.full((1 << TABLE_LOG2,), EMPTY, jnp.int64)
-    tc = jnp.zeros((1 << TABLE_LOG2,), jnp.int32)
-    tk, tc, new, _ = _count_insert_kernel(tk, tc, batches[0], K, None)
-    _probe(tk)
-    del tk, tc
+    run_chain(batches, 1)  # compile warm (append + consolidate + probe)
     log("compile warm")
 
     t_small = run_chain(batches, M_SMALL)

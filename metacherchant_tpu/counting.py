@@ -56,31 +56,48 @@ def iter_fragments(files: Iterable[str], k: int, min_len: int,
 def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
                        min_len: int = 0, batch: int = DEFAULT_BATCH,
                        max_len: int = DEFAULT_LEN,
-                       table_log2: int = 20) -> KmerMap:
-    """Count canonical k-mers of all reads into a KmerMap (device hot path)."""
-    table = DeviceHashTable(capacity_log2=table_log2)
+                       table_log2: int = 20,
+                       engine: str | None = None) -> KmerMap:
+    """Count canonical k-mers of all reads into a KmerMap (device hot path).
+
+    engine: 'sort' (default; loop-free append + bulk-sort consolidation,
+    ops/sortcount.py) or 'hash' (open-addressing table, ops/hashtable.py).
+    """
+    import os
+    engine = engine or os.environ.get("MC_COUNT_ENGINE", "sort")
+    if engine == "sort":
+        from .ops.sortcount import StreamCounter
+        counter = StreamCounter(
+            buffer_cap_log2=max(table_log2 + 2,
+                                int(np.ceil(np.log2(batch * max_len))) + 1),
+            store_cap_log2=table_log2)
+        sink = lambda codes: counter.add_codes(codes, k, hasher)
+    else:
+        table = DeviceHashTable(capacity_log2=table_log2)
+        sink = lambda codes: table.count_insert_codes(codes, k, hasher)
+
+    from .progress import Progress
+    progress = Progress(label="reads", log_every=2_500_000)
     buf: list[np.ndarray] = []
-    n_reads = 0
-    total_len = 0
 
     def flush():
         if not buf:
             return
         packed = pack_reads(buf, batch, max_len)
-        table.count_insert_codes(jnp.asarray(packed), k, hasher)
+        sink(jnp.asarray(packed))
+        progress.update(len(buf))
         buf.clear()
 
     for frag in iter_fragments(files, k, min_len, max_len):
         buf.append(frag)
-        n_reads += 1
-        total_len += len(frag)
         if len(buf) == batch:
             flush()
-            if n_reads % (50 * batch) == 0:
-                logger.debug("counted %d fragments, table size %d", n_reads, table.size)
     flush()
-    logger.debug("k-mers HM size = %d", table.size)
-    keys, counts = table.items_host()
+    if engine == "sort":
+        keys, counts = counter.finalize()
+    else:
+        keys, counts = table.items_host()
+    logger.debug("k-mers HM size = %d", len(keys))
     return KmerMap(keys, counts)
 
 

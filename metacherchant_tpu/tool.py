@@ -87,6 +87,20 @@ class Tool:
         self.verbose = self.add_parameter(Parameter(
             "verbose", bool, short="v", default=False,
             description="enable debug output"))
+        # accepted-for-compatibility launch options (Tool.java:94-141): memory
+        # sizing and assertions are JVM concepts with no Python/JAX effect;
+        # start/finish bound multi-stage runs (our tools are single-stage,
+        # like the reference's)
+        self.memory = self.add_parameter(Parameter(
+            "memory", str, short="m",
+            description="memory to use (JVM-compat no-op)"))
+        self.enable_assertions = self.add_parameter(Parameter(
+            "ea", bool, default=False,
+            description="enable assertions (JVM-compat no-op)"))
+        self.start_stage = self.add_parameter(Parameter(
+            "start", str, description="first stage to run"))
+        self.finish_stage = self.add_parameter(Parameter(
+            "finish", str, description="last stage to run"))
         self.logger = logging.getLogger("metacherchant")
 
     # -- parameter plumbing -------------------------------------------------
