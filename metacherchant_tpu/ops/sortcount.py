@@ -43,13 +43,50 @@ def _append_kernel(buf, offset, codes, k: int, hasher: str | None):
     return buf, offset + flat.shape[0]
 
 
+def _rle_sorted(all_keys, all_w, m):
+    """Scatter-free run-length-encode of a key/weight multiset.
+
+    TPU scatters (the lowering of segment_sum/segment_max) execute orders of
+    magnitude slower than sorts at these sizes, so the RLE uses only sorts,
+    scans and gathers: sort by key; per-run weight sums via cumulative-sum
+    differences at run boundaries; compaction of the run heads via a second
+    sort that pushes non-heads (rekeyed to SENTINEL) to the back.
+    Returns (keys[:m], cnts[:m], n_distinct)."""
+    N = all_keys.shape[0]
+    order = jnp.argsort(all_keys)
+    s = all_keys[order]
+    w = all_w[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
+    # exclusive index of the next run head after i (N if none): reverse cummin
+    head_idx = jnp.where(first, idx, N)
+    next_head = jax.lax.associative_scan(
+        jnp.minimum, jnp.flip(head_idx))
+    next_head = jnp.flip(next_head)          # min head index at position >= i
+    next_head = jnp.concatenate([next_head[1:], jnp.full((1,), N, jnp.int32)])
+    cw = jnp.cumsum(w.astype(jnp.int64))     # inclusive prefix sums
+    cw_pad = jnp.concatenate([jnp.zeros((1,), jnp.int64), cw])
+    run_sum = cw_pad[jnp.minimum(next_head, N)] - cw_pad[idx]
+    # compact run heads: rekey non-heads to SENTINEL and sort once more
+    key2 = jnp.where(first, s, SENTINEL)
+    sum2 = jnp.where(first, run_sum, 0)
+    keys_c, sums_c = jax.lax.sort((key2, sum2), num_keys=1)
+    keys_c = jnp.where(sums_c > 0, keys_c, SENTINEL)
+    # clamp far above the 32767 output saturation so repeated consolidations
+    # cannot overflow int32 while preserving min(total, 32767) semantics
+    sums_c = jnp.minimum(sums_c, 1_000_000_000)
+    cnts_c = jnp.where(keys_c == SENTINEL, 0, sums_c).astype(jnp.int32)
+    n_distinct = jnp.sum(keys_c != SENTINEL).astype(jnp.int32)
+    return keys_c[:m], cnts_c[:m], n_distinct
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def _consolidate_kernel(store_keys, store_cnts, buf, offset):
     """Merge the append buffer into the sorted store.
 
     Pads un-appended buffer tail with SENTINEL, concatenates store + buffer,
-    sorts, segment-sums weights (store entries carry their counts, buffer
-    entries weight 1, SENTINEL weight 0), and re-packs into the store shape.
+    and run-length-encodes (store entries carry their counts, buffer entries
+    weight 1, SENTINEL weight 0) back into the store shape.
     Returns (store_keys, store_cnts, n_distinct, overflowed).
     """
     n = buf.shape[0]
@@ -59,19 +96,9 @@ def _consolidate_kernel(store_keys, store_cnts, buf, offset):
     all_w = jnp.concatenate(
         [store_cnts, jnp.ones((n,), jnp.int32)])
     all_w = jnp.where(all_keys == SENTINEL, 0, all_w)
-    order = jnp.argsort(all_keys)
-    s = all_keys[order]
-    w = all_w[order]
-    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-    seg = (jnp.cumsum(first) - 1).astype(jnp.int32)
     m = store_keys.shape[0]
-    cnts = jax.ops.segment_sum(w, seg, num_segments=m + n)
-    keys = jax.ops.segment_max(s, seg, num_segments=m + n)
-    keys = jnp.where(cnts > 0, keys, SENTINEL)
-    cnts = jnp.where(keys == SENTINEL, 0, cnts)
-    n_distinct = jnp.sum(keys != SENTINEL).astype(jnp.int32)
-    overflowed = n_distinct > m
-    return keys[:m], cnts[:m], n_distinct, overflowed
+    keys, cnts, n_distinct = _rle_sorted(all_keys, all_w, m)
+    return keys, cnts, n_distinct, n_distinct > m
 
 
 def fast_scalar(x) -> int:
@@ -135,6 +162,97 @@ class StreamCounter:
     def finalize(self) -> tuple[np.ndarray, np.ndarray]:
         """Returns key-sorted (keys, counts) on host, counts clamped at 32767."""
         self._consolidate()
+        sk = np.asarray(self.store_keys[: max(self._live, 1)])[: self._live]
+        sc = np.asarray(self.store_cnts[: max(self._live, 1)])[: self._live]
+        order = np.argsort(sk, kind="stable")
+        return sk[order], np.minimum(sc[order], 32767).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Chunked megakernel engine: one dispatch per ~chunk of read batches
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "hasher"),
+                   donate_argnums=(0, 1))
+def _count_chunk_kernel(store_keys, store_cnts, codes_chunk, k: int,
+                        hasher: str | None):
+    """Count a whole chunk of read batches in one dispatch.
+
+    codes_chunk: (NB, B, L) int8 batches (pad rows/batches with -1). The
+    extraction scan + append buffer live entirely inside the call -- only the
+    (store, codes) cross the executable boundary, which matters on runtimes
+    that charge per-call buffer traffic (and reduces dispatch count ~64x
+    everywhere). Returns (store_keys, store_cnts, n_distinct, overflowed).
+    """
+    NB, B, L = codes_chunk.shape
+
+    def extract(carry, codes_b):
+        keys, _ = canonical_kmers(codes_b.astype(jnp.int32), k, hasher)
+        return carry, keys.ravel()
+
+    _, all_keys = jax.lax.scan(extract, 0, codes_chunk)   # (NB, B*L)
+    buf = all_keys.ravel()
+    m = store_keys.shape[0]
+    n = buf.shape[0]
+    all_k = jnp.concatenate([store_keys, buf])
+    all_w = jnp.concatenate([store_cnts, jnp.ones((n,), jnp.int32)])
+    all_w = jnp.where(all_k == SENTINEL, 0, all_w)
+    keys, cnts, n_distinct = _rle_sorted(all_k, all_w, m)
+    return keys, cnts, n_distinct, n_distinct > m
+
+
+class ChunkedCounter:
+    """Streaming counter dispatching one fused call per chunk of batches.
+
+    Host accumulates packed int8 batches; every `chunk_batches` batches (or at
+    finalize) one _count_chunk_kernel call merges them into the store.
+    """
+
+    def __init__(self, batch: int, max_len: int, chunk_batches: int = 64,
+                 store_cap_log2: int = 23):
+        self.batch = batch
+        self.max_len = max_len
+        self.chunk_batches = chunk_batches
+        self.store_cap = 1 << store_cap_log2
+        self.store_keys = jnp.full((self.store_cap,), SENTINEL, jnp.int64)
+        self.store_cnts = jnp.zeros((self.store_cap,), jnp.int32)
+        self._pending: list[np.ndarray] = []
+        self._live = 0
+
+    def add_batch(self, codes: np.ndarray, k: int, hasher: str | None) -> None:
+        self._k, self._hasher = k, hasher
+        self._pending.append(np.asarray(codes, np.int8))
+        if len(self._pending) >= self.chunk_batches:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        nb = len(self._pending)
+        chunk = np.full((nb, self.batch, self.max_len), -1, np.int8)
+        for i, b in enumerate(self._pending):
+            chunk[i, :b.shape[0], :b.shape[1]] = b
+        self._pending.clear()
+        incoming = nb * self.batch * self.max_len
+        while self._live + incoming > self.store_cap:
+            self._grow_store()
+        (self.store_keys, self.store_cnts, n_distinct,
+         overflowed) = _count_chunk_kernel(
+            self.store_keys, self.store_cnts, jnp.asarray(chunk),
+            self._k, self._hasher)
+        self._live = fast_scalar(n_distinct)
+        assert self._live <= self.store_cap
+
+    def _grow_store(self) -> None:
+        old_k, old_c = self.store_keys, self.store_cnts
+        self.store_cap *= 2
+        self.store_keys = jnp.concatenate(
+            [old_k, jnp.full((self.store_cap // 2,), SENTINEL, jnp.int64)])
+        self.store_cnts = jnp.concatenate(
+            [old_c, jnp.zeros((self.store_cap // 2,), jnp.int32)])
+
+    def finalize(self) -> tuple[np.ndarray, np.ndarray]:
+        self._flush()
         sk = np.asarray(self.store_keys[: max(self._live, 1)])[: self._live]
         sc = np.asarray(self.store_cnts[: max(self._live, 1)])[: self._live]
         order = np.argsort(sk, kind="stable")

@@ -113,17 +113,11 @@ def make_sharded_count_step(mesh: Mesh, k: int, hasher: str | None,
 
 
 def _weighted_unique(keys: jax.Array, counts: jax.Array):
-    """Sort keys, sum counts per distinct key; padded with SENTINEL/0."""
-    order = jnp.argsort(keys)
-    s, c = keys[order], counts[order]
-    n = s.shape[0]
-    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-    seg = (jnp.cumsum(first) - 1).astype(jnp.int32)
-    w = jnp.where(s == SENTINEL, 0, c)
-    ucnts = jax.ops.segment_sum(w, seg, num_segments=n)
-    ukeys = jax.ops.segment_max(s, seg, num_segments=n)
-    ukeys = jnp.where(ucnts > 0, ukeys, SENTINEL)
-    ucnts = jnp.where(ukeys == SENTINEL, 0, ucnts)
+    """Sort keys, sum counts per distinct key; padded with SENTINEL/0.
+    Scatter-free RLE (see ops/sortcount._rle_sorted)."""
+    from ..ops.sortcount import _rle_sorted
+    w = jnp.where(keys == SENTINEL, 0, counts).astype(jnp.int32)
+    ukeys, ucnts, _ = _rle_sorted(keys, w, keys.shape[0])
     return ukeys, ucnts
 
 
