@@ -17,10 +17,16 @@ itmo:structures/map/Long2ShortHashMap.java addAndBound; ~40M canonical
 k-mers/s on a 32-core host). The reference publishes no numbers (BASELINE.md).
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persist compiled executables across runs: remote compiles on this rig cost
+# minutes each; the cache eliminates them after the first round.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 # Real device: do NOT force cpu here (the session platform is the tunneled TPU).
 import metacherchant_tpu  # noqa: F401  (x64)
@@ -34,7 +40,7 @@ EST_JAVA_RATE = 4.0e7  # est. reference JVM k-mers/s (see module docstring)
 K = 31
 BATCH = 4096
 LEN = 256
-BUFFER_LOG2 = 26   # 64M-key append buffer: one consolidation per 64 batches
+BUFFER_LOG2 = 24   # 16M-key append buffer: consolidation every ~16 batches
 STORE_LOG2 = 23    # 8M distinct capacity (4M genome keys)
 M_SMALL = 2
 M_BIG = 58
