@@ -3,8 +3,10 @@
 Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
 Progress goes to stderr.
 
-Measures the default counting engine (ops/sortcount.py: loop-free append +
-bulk-sort consolidation) with the difference method:
+Measures the open-addressing counting engine (ops/hashtable.py fused
+extract+dedup+insert; chosen for bench reliability on this rig -- the
+sort-engine's larger fused graphs hit remote-compile instability) with the
+difference method:
     T(M) = enqueue M dependent count steps + one tiny forced readback
 for small and large M on fresh state; readback latency and compile time cancel
 in the difference (this rig's tunneled device has broken block_until_ready and
@@ -33,17 +35,16 @@ import metacherchant_tpu  # noqa: F401  (x64)
 import jax
 import jax.numpy as jnp
 
-from metacherchant_tpu.ops.sortcount import StreamCounter
+from metacherchant_tpu.ops.hashtable import _count_insert_kernel, EMPTY
 
 EST_JAVA_RATE = 4.0e7  # est. reference JVM k-mers/s (see module docstring)
 
 K = 31
 BATCH = 4096
 LEN = 256
-BUFFER_LOG2 = 24   # 16M-key append buffer: consolidation every ~16 batches
-STORE_LOG2 = 23    # 8M distinct capacity (4M genome keys)
+TABLE_LOG2 = 24    # 16M slots; ~4M distinct genome keys => low load
 M_SMALL = 2
-M_BIG = 58
+M_BIG = 42
 
 
 def log(msg: str) -> None:
@@ -59,13 +60,13 @@ def _probe(x) -> int:
 
 
 def run_chain(batches, m: int) -> float:
-    """Enqueue m count steps on fresh state + consolidation + tiny readback."""
-    sc = StreamCounter(buffer_cap_log2=BUFFER_LOG2, store_cap_log2=STORE_LOG2)
+    """Enqueue m dependent count-insert steps on a fresh table + readback."""
+    tk = jnp.full((1 << TABLE_LOG2,), EMPTY, jnp.int64)
+    tc = jnp.zeros((1 << TABLE_LOG2,), jnp.int32)
     t0 = time.perf_counter()
     for i in range(m):
-        sc.add_codes(batches[i], K, None)
-    sc._consolidate()          # includes its own forced scalar sync
-    v = _probe(sc.store_keys)  # belt-and-braces completion of the store
+        tk, tc, new, _ = _count_insert_kernel(tk, tc, batches[i], K, None)
+    v = _probe(tk)  # forced completion of the whole chain
     dt = time.perf_counter() - t0
     log(f"chain m={m}: {dt:.1f}s (probe={v})")
     return dt
@@ -82,7 +83,7 @@ def main() -> None:
     ]
     kmers_per_batch = BATCH * (LEN - K + 1)
 
-    run_chain(batches, 1)  # compile warm (append + consolidate + probe)
+    run_chain(batches, 1)  # compile warm
     log("compile warm")
 
     t_small = run_chain(batches, M_SMALL)

@@ -7,9 +7,17 @@ thresholded de Bruijn subgraph (genomic environment) extraction by frontier
 BFS from target genes, unitig contraction, and GFA/TSV/FASTA emission, plus
 the read-classification, differential multi-graph and FMT tool families.
 """
+import os
+
 import jax
 
 # 64-bit keys (Java long semantics) everywhere.
 jax.config.update("jax_enable_x64", True)
+
+# MC_PLATFORM=cpu|tpu|... pins the JAX backend. Needed because some
+# environments force a platform through plugin registration that ignores
+# JAX_PLATFORMS (e.g. tunneled test devices); jax.config wins over both.
+if os.environ.get("MC_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MC_PLATFORM"])
 
 __version__ = "0.1.0"

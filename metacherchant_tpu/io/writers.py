@@ -214,3 +214,16 @@ def write_fasta(path: str, records: Iterable[tuple[str, str]]) -> None:
     with open(path, "w") as out:
         for name, seq in records:
             out.write(f">{name}\n{seq}\n")
+
+
+def write_binq(path: str, dnaqs) -> None:
+    """BINQ writer: int32 big-endian length + (phred<<2 | nuc) bytes per read
+    (inverse of readers._iter_binq; itmo:dna/DnaQ.java:140-150 layout)."""
+    import struct
+    _ensure_dir(path)
+    with open(path, "wb") as out:
+        for d in dnaqs:
+            data = ((np.minimum(d.phred.astype(np.int32), 62) << 2)
+                    | (d.codes.astype(np.int32) & 3)).astype(np.uint8)
+            out.write(struct.pack(">i", len(data)))
+            out.write(data.tobytes())

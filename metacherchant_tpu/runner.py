@@ -52,12 +52,17 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     reg = _registry()
     tool_name = DEFAULT_TOOL
+    explicit_tool = False
     if argv and argv[0] in ("-t", "--tool"):
         if len(argv) < 2:
             print("Option --tool requires a value", file=sys.stderr)
             return 1
         tool_name = argv[1]
+        explicit_tool = True
         argv = argv[2:]
+    if explicit_tool and tool_name not in reg:
+        print(f"Unknown tool {tool_name!r}; use --tools to list", file=sys.stderr)
+        return 1
     if argv and argv[0] in ("-ts", "--tools"):
         print("Available tools:")
         for name, cls in sorted(reg.items()):
@@ -66,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
     if argv and argv[0] in ("--version",):
         print(f"metacherchant-tpu {__version__}")
         return 0
-    if argv and argv[0] in ("-h", "--help") or not argv:
+    if (argv and argv[0] in ("-h", "--help")) or (not argv and not explicit_tool):
         print(_HEADER)
         print("Tools (select with -t):")
         for name, cls in sorted(reg.items()):
