@@ -140,11 +140,20 @@ def _lookup_kernel(tkeys: jax.Array, tcnts: jax.Array, qkeys: jax.Array):
 def _batch_unique_impl(keys_flat: jax.Array):
     """Sort + run-length-encode a flat key batch -> (unique_keys, counts), both
     the same length with SENTINEL/0 padding; padded lanes never count.
-    Scatter-free (TPU scatters are orders slower than sorts at these sizes)."""
-    from .sortcount import _rle_sorted
+
+    Uses segment ops (scatter lowering): at the ~1M-key batch sizes this path
+    sees, the scatter cost is bounded and -- unlike the larger scatter-free
+    graph -- it compiles reliably on remote-compile backends. Bulk
+    consolidations use the scatter-free sortcount._rle_sorted instead."""
     n = keys_flat.shape[0]
-    w = jnp.where(keys_flat == SENTINEL, 0, 1).astype(jnp.int32)
-    ukeys, counts, _ = _rle_sorted(keys_flat, w, n)
+    s = jnp.sort(keys_flat)
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    seg = (jnp.cumsum(first) - 1).astype(jnp.int32)
+    w = (s != SENTINEL).astype(jnp.int32)
+    counts = jax.ops.segment_sum(w, seg, num_segments=n)
+    ukeys = jax.ops.segment_max(s, seg, num_segments=n)
+    ukeys = jnp.where(counts > 0, ukeys, SENTINEL)
+    counts = jnp.where(ukeys == SENTINEL, 0, counts)
     return ukeys, counts
 
 
