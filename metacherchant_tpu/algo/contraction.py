@@ -97,7 +97,16 @@ def merge_nodes(first_plus: Node, second_minus: Node, k: int) -> None:
 
 def do_merge(nodes: list[Node], k: int,
              tag: Callable[[Node], Hashable] = _default_tag) -> None:
-    """doMerge (OneSequenceCalculator.java:434-451): sweep to fixpoint."""
+    """doMerge exactly as written (OneSequenceCalculator.java:434-451):
+    full sweeps to fixpoint, ascending node order.
+
+    NOTE kept deliberately order-faithful: in degenerate configurations
+    (self-adjacent homopolymer k-mers, palindromic overlaps, parallel edges)
+    the merged content depends on processing order -- the reference does not
+    even check `other.deleted` before merging -- so a worklist reformulation
+    produces different (equally arbitrary) unitig sets. An experiment
+    confirming the divergence lives in tests/test_contraction.py.
+    """
     while True:
         acted = False
         for n in nodes:
