@@ -1,44 +1,93 @@
-"""Hashed-regime (k > 31 / --forcehash) environment BFS over string states.
+"""Hashed-regime (k > 31 / --forcehash) environment BFS, layer-batched.
 
 The reference's BFS always walks literal k-mer strings; in the hashed regime
 only the MAP KEY changes (64-bit canonical hash instead of the 2-bit code,
 src/algo/OneSequenceCalculator.java:89-96 getKmerKey). Arbitrary k cannot pack
-into one int64, so this host engine keeps string states and batches coverage
-probes through the vectorized hash oracle. A multiword packed-code device path
-is the planned optimization (SURVEY §7.3).
+into one int64, so states here are (k,) nucleotide-code rows. The engine is
+layer-synchronous-with-FIFO-admission: each BFS layer's candidate block is
+generated and HASHED AS ONE BATCH (ops.kmers.hash_codes_np, exact Java wrap)
+and probed against the map in one vectorized lookup, then admitted
+sequentially in the reference's exact FIFO order -- (parent admission order,
+neighbor order) -- so order-dependent semantics (MAX_KMERS at admission time,
+lastKmers marking, TerminationMode.java:31-47) match the Java run exactly
+while the per-k-mer Java-loop hashing cost is amortized across the layer.
 
 getKmerKey(s) = hasher.hash(normalizeDna(s)) == hasher.hash(s): both poly and
-FNV-1a hashes are orientation-invariant (min of fw/rc), so normalization before
-hashing is redundant -- replicated here by hashing the state directly.
+FNV-1a hashes are orientation-invariant (min of fw/rc), so normalization
+before hashing is redundant -- replicated here by hashing the state directly.
+
+An uncapped/no-trim configuration can instead run fully on device via
+ops.bfs_hashed (multiword packed codes); this module is the exact oracle.
 """
 from __future__ import annotations
 
 import numpy as np
 
 from ..kmer_map import KmerMap
-from ..dna import normalize
-from ..ops.kmers import hash_str
+from ..dna import CODE_TO_CHAR, encode
+from ..ops.kmers import hash_codes_np
 from .environment import Environment
 
 _NUCS = "AGCT"  # neighbor generation order (itmo:dna/DnaTools.java:33)
 
+# code -> ASCII rank (A=0,G=1,C=2,T=3 codes; ASCII order A<C<G<T)
+_ASCII_RANK = np.array([0, 2, 1, 3], np.uint8)
 
-def _neighbors(kmer: str, direction: int) -> list[str]:
-    """StringUtils left/right/all neighbors (src/utils/StringUtils.java:8-32)."""
-    left = [n + kmer[:-1] for n in _NUCS]
-    right = [kmer[1:] + n for n in _NUCS]
+
+def _neighbor_block(states: np.ndarray, direction: int) -> np.ndarray:
+    """(F, k) states -> (F, D, k) neighbor states in reference order.
+
+    StringUtils left/right/all neighbors (src/utils/StringUtils.java:8-32):
+    left = n + s[:-1], right = s[1:] + n for n in AGCT; direction 0
+    interleaves (l_n, r_n) per nucleotide.
+    """
+    F, k = states.shape
+    nucs = np.arange(4, dtype=np.uint8)
+    left = np.empty((F, 4, k), np.uint8)
+    right = np.empty((F, 4, k), np.uint8)
+    left[:, :, 0] = nucs[None, :]
+    left[:, :, 1:] = states[:, None, :-1]
+    right[:, :, :-1] = states[:, None, 1:]
+    right[:, :, -1] = nucs[None, :]
     if direction == -1:
         return left
     if direction == 1:
         return right
-    out = []
-    for l, r in zip(left, right):
-        out.extend((l, r))
+    out = np.empty((F, 8, k), np.uint8)
+    out[:, 0::2] = left
+    out[:, 1::2] = right
     return out
 
 
-def _occ(kmap: KmerMap, kmer: str, hasher: str) -> int:
-    return kmap.get(hash_str(kmer, hasher))
+def _occ_block(kmap: KmerMap, states: np.ndarray, hasher: str) -> np.ndarray:
+    """Vectorized coverage of (N, k) states (absent -> -1)."""
+    if states.shape[0] == 0:
+        return np.empty(0, np.int32)
+    return kmap.get_many(hash_codes_np(states, hasher))
+
+
+def _revcomp_rows(states: np.ndarray) -> np.ndarray:
+    """(N, k) -> reverse complement rows (complement = 3 - code = code ^ 3)."""
+    return (3 - states[:, ::-1]).astype(np.uint8)
+
+
+def _normalize_rows(states: np.ndarray) -> np.ndarray:
+    """Row-wise ASCII-lexicographic min(s, rc(s))
+    (src/utils/StringUtils.java:34-41; ASCII order A<C<G<T)."""
+    rc = _revcomp_rows(states)
+    ra, rb = _ASCII_RANK[states], _ASCII_RANK[rc]
+    diff = ra != rb
+    any_diff = diff.any(axis=1)
+    first = np.where(any_diff, diff.argmax(axis=1), 0)
+    rows = np.arange(states.shape[0])
+    take_rc = any_diff & (rb[rows, first] < ra[rows, first])
+    return np.where(take_rc[:, None], rc, states)
+
+
+def _rows_to_strings(states: np.ndarray) -> list[str]:
+    chars = CODE_TO_CHAR[states.astype(np.int64)]
+    return chars.tobytes().decode("ascii") if states.ndim == 1 else [
+        row.tobytes().decode("ascii") for row in chars]
 
 
 def build_environment_hashed(sequences: list[str], k: int, kmap: KmerMap,
@@ -46,92 +95,154 @@ def build_environment_hashed(sequences: list[str], k: int, kmap: KmerMap,
                              both_directions: bool, max_radius: int | None,
                              max_kmers: int | None, trim: bool,
                              hic_sequences: list[str] | None = None) -> Environment:
-    seeds: list[str] = []
+    # Seeds: every k-window of every input sequence with count >= min_occ,
+    # in order (runBfs seed loop, OneSequenceCalculator.java:159-196).
+    seed_rows: list[np.ndarray] = []
     for seq in list(sequences) + list(hic_sequences or []):
-        for i in range(len(seq) - k + 1):
-            w = seq[i:i + k]
-            if _occ(kmap, w, hasher) >= min_occ:
-                seeds.append(w)
+        if len(seq) < k:
+            continue
+        codes = encode(seq)
+        wins = np.lib.stride_tricks.sliding_window_view(codes, k).astype(np.uint8)
+        occ = _occ_block(kmap, wins, hasher)
+        seed_rows.extend(wins[occ >= min_occ])
     dirs = [0] if both_directions else [-1, 1]
-    union: set[str] = set()
+    union: dict[bytes, np.ndarray] = {}
     fail = True
     for direction in dirs:
-        if not seeds:
+        if not seed_rows:
             continue
         fail = False
-        dist: dict[str, int] = {}
-        queue: list[str] = []
-        for s in seeds:
-            if s not in dist:
-                dist[s] = 0
-            queue.append(s)
-        last: set[str] = set()
-        head = 0
-        while head < len(queue):
-            cur = queue[head]
-            head += 1
-            dd = dist[cur] + 1
-            for nb in _neighbors(cur, direction):
-                if _occ(kmap, nb, hasher) >= min_occ:
-                    allowed = nb not in dist
-                    if allowed and max_kmers is not None and len(dist) >= max_kmers:
-                        allowed = False
-                    if allowed and max_radius is not None and dd > max_radius:
-                        allowed = False
-                    if allowed:
-                        queue.append(nb)
-                        dist[nb] = dd
-                    elif trim:
-                        last.add(cur)
-        visited = set(dist)
-        if trim:
-            visited = _trim(visited, last, direction)
-        union |= visited
+        visited = _bfs_layer_fifo(seed_rows, kmap, k, min_occ, hasher,
+                                  direction, max_radius, max_kmers, trim)
+        union.update(visited)
     if fail:
         return Environment(k, np.empty(0, np.int64), np.empty(0, np.int32), fail=True)
 
-    env = _HashedEnvironment(k, union, kmap, hasher)
-    env.extend_count = _extend_count(env.as_dict(), kmap, hasher, min_occ, k)
+    states = np.stack(list(union.values())) if union else np.empty((0, k), np.uint8)
+    env = _HashedEnvironment(k, states, kmap, hasher)
+    env.extend_count = _extend_count(states, env._norm_set, kmap, hasher, min_occ)
     return env
 
 
-def _trim(visited: set[str], last: set[str], direction: int) -> set[str]:
-    """runTrimPaths (OneSequenceCalculator.java:241-262)."""
+def _bfs_layer_fifo(seed_rows: list[np.ndarray], kmap: KmerMap, k: int,
+                    min_occ: int, hasher: str, direction: int,
+                    max_radius: int | None, max_kmers: int | None,
+                    trim: bool) -> dict[bytes, np.ndarray]:
+    """One runBfs pass (OneSequenceCalculator.java:137-262). Returns the
+    visited (post-trim) oriented states keyed by their code bytes."""
+    dist: dict[bytes, int] = {}
+    rows: dict[bytes, np.ndarray] = {}
+    # Java enqueues duplicate seeds (queue.add outside the dist check,
+    # OneSequenceCalculator.java:159-192); a duplicate admits nothing new but
+    # DOES mark itself as a lastKmer when its neighbors are already visited,
+    # so the layer-0 frontier keeps duplicates in seed order.
+    frontier: list[bytes] = []
+    for row in seed_rows:
+        b = row.tobytes()
+        if b not in dist:
+            dist[b] = 0
+            rows[b] = row
+        frontier.append(b)
+    last: set[bytes] = set()
+    d = 0
+    while frontier:
+        d += 1
+        fmat = np.stack([rows[b] for b in frontier])
+        cand = _neighbor_block(fmat, direction)          # (F, D, k)
+        F, D, _ = cand.shape
+        occ = _occ_block(kmap, cand.reshape(F * D, k), hasher).reshape(F, D)
+        eligible = occ >= min_occ
+        next_frontier: list[bytes] = []
+        if max_radius is not None and d > max_radius:
+            # whole layer over the radius: allowsAddition is false for every
+            # eligible neighbor, so each such parent becomes a lastKmer
+            if trim:
+                for i in range(F):
+                    if eligible[i].any():
+                        last.add(frontier[i])
+            break
+        for i in range(F):
+            parent = frontier[i]
+            for j in range(D):
+                if not eligible[i, j]:
+                    continue
+                row = cand[i, j]
+                b = row.tobytes()
+                allowed = b not in dist
+                if allowed and max_kmers is not None and len(dist) >= max_kmers:
+                    allowed = False
+                if allowed:
+                    dist[b] = d
+                    rows[b] = row
+                    next_frontier.append(b)
+                elif trim:
+                    last.add(parent)
+        frontier = next_frontier
+    if trim:
+        keep = _trim(rows, last, direction)
+        return {b: rows[b] for b in keep}
+    return rows
+
+
+def _trim(rows: dict[bytes, np.ndarray], last: set[bytes],
+          direction: int) -> set[bytes]:
+    """runTrimPaths (OneSequenceCalculator.java:241-262): reverse BFS from the
+    blocked frontier, retain reached. Membership-only -- no hashing."""
     reached = set(last)
-    queue = list(last)
+    queue = [b for b in last]
     head = 0
     while head < len(queue):
         cur = queue[head]
         head += 1
-        for nb in _neighbors(cur, -direction):
-            if nb in visited and nb not in reached:
-                reached.add(nb)
-                queue.append(nb)
+        cand = _neighbor_block(rows[cur][None, :], -direction)[0]
+        for row in cand:
+            b = row.tobytes()
+            if b in rows and b not in reached:
+                reached.add(b)
+                queue.append(b)
     return reached
 
 
-def _extend_count(subgraph: dict[str, int], kmap: KmerMap, hasher: str,
-                  min_occ: int, k: int) -> int:
-    """extendEnvironment no-op count (OneSequenceCalculator.java:265-295)."""
-    n = 0
-    for kmer in subgraph:
-        outside = 0
-        for nb in _neighbors(kmer, 0):
-            if normalize(nb) not in subgraph and _occ(kmap, nb, hasher) >= min_occ:
-                outside += 1
-        if outside == 1:
-            n += 1
-    return n
+def _extend_count(states: np.ndarray, norm_set: set[bytes], kmap: KmerMap,
+                  hasher: str, min_occ: int) -> int:
+    """extendEnvironment no-op count (OneSequenceCalculator.java:265-295):
+    nodes with exactly one out-of-subgraph eligible continuation."""
+    if states.shape[0] == 0:
+        return 0
+    N, k = states.shape
+    cand = _neighbor_block(states, 0)                    # (N, 8, k)
+    occ = _occ_block(kmap, cand.reshape(N * 8, k), hasher).reshape(N, 8)
+    norm = _normalize_rows(cand.reshape(N * 8, k)).reshape(N, 8, k)
+    outside = np.zeros(N, np.int64)
+    for j in range(8):
+        in_sub = np.array([norm[i, j].tobytes() in norm_set for i in range(N)])
+        outside += (~in_sub) & (occ[:, j] >= min_occ)
+    return int(np.sum(outside == 1))
 
 
 class _HashedEnvironment(Environment):
-    """Environment whose normalized strings come from string states."""
+    """Environment whose normalized strings come from code-row states."""
 
-    def __init__(self, k: int, visited: set[str], kmap: KmerMap, hasher: str):
-        norm = sorted({normalize(s) for s in visited})
-        counts = np.array([kmap.get(hash_str(s, hasher)) for s in norm], np.int32)
+    def __init__(self, k: int, states: np.ndarray, kmap: KmerMap, hasher: str):
+        if states.shape[0]:
+            norm = _normalize_rows(states)
+            # unique rows, sorted by ASCII-lexicographic string order
+            ranked = _ASCII_RANK[norm]
+            order = np.lexsort(tuple(ranked[:, c] for c in range(k - 1, -1, -1)))
+            norm = norm[order]
+            keep = np.ones(norm.shape[0], bool)
+            keep[1:] = (norm[1:] != norm[:-1]).any(axis=1)
+            norm = norm[keep]
+            counts = kmap.get_many(hash_codes_np(norm, hasher)).astype(np.int32)
+        else:
+            norm = np.empty((0, k), np.uint8)
+            counts = np.empty(0, np.int32)
         super().__init__(k, np.empty(0, np.int64), counts)
-        self._norm = norm
+        self._norm_rows = norm
+        self._norm_set = {row.tobytes() for row in norm}
+        self._norm_strings: list[str] | None = None
 
     def normalized_strings(self) -> list[str]:
-        return self._norm
+        if self._norm_strings is None:
+            self._norm_strings = _rows_to_strings(self._norm_rows)
+        return self._norm_strings

@@ -141,6 +141,39 @@ def _signed(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
+def hash_codes_np(codes: np.ndarray, hasher: str) -> np.ndarray:
+    """Vectorized canonical hash of (N, k) nucleotide-code rows (host, numpy).
+
+    Exact Java long semantics via uint64 wraparound; per-row result equals
+    hash_str of the row's string (src/utils/PolynomialHash.java:19-28,
+    src/utils/FNV1AHash.java:33-42: fused fw/rc loops, key = signed min).
+    """
+    codes = np.asarray(codes, np.uint64)
+    n, k = codes.shape
+    if hasher == "poly":
+        fw = np.ones(n, np.uint64)
+        rc = np.ones(n, np.uint64)
+    elif hasher == "fnv1a":
+        fw = np.full(n, np.uint64(FNV_OFFSET_BASIS & MASK64))
+        rc = fw.copy()
+    else:
+        raise ValueError(hasher)
+    prime = np.uint64(FNV_PRIME)
+    five = np.uint64(POLY_BASE)
+    three = np.uint64(3)
+    with np.errstate(over="ignore"):
+        for t in range(k):
+            cf = codes[:, t]
+            cr = codes[:, k - 1 - t] ^ three
+            if hasher == "poly":
+                fw = fw * five + cf
+                rc = rc * five + cr
+            else:
+                fw = (fw ^ cf) * prime
+                rc = (rc ^ cr) * prime
+    return np.minimum(fw.view(np.int64), rc.view(np.int64))
+
+
 def poly_hash_str(s: str) -> int:
     """Reference polynomial hash of one k-mer string (src/utils/PolynomialHash.java:7-16)."""
     from ..dna import CHAR_TO_CODE
