@@ -150,6 +150,57 @@ def _count_codes_into(counts: dict[int, int], codes: np.ndarray, k: int,
             counts[key] = counts.get(key, 0) + 1
 
 
+def load_present_kmer_strings(files: Iterable[str], k: int, hasher: str,
+                              kmap: KmerMap, min_len: int = 0,
+                              rows_per_batch: int = 1 << 20) -> dict[str, int]:
+    """LargeKmerLoader equivalent (src/io/LargeKmerLoader.java:47-76): in the
+    hashed regime map keys cannot be decoded back to strings, so re-stream the
+    reads and materialize normalized-string -> count for every k-window whose
+    canonical hash is present in kmap.
+
+    Hashing is the vectorized batch oracle (exact Java wrap) over ~1M-window
+    blocks; presence is one sorted-array probe per block.
+    """
+    from .dna import CODE_TO_CHAR
+    from .ops.kmers import hash_codes_np
+    from .algo.environment_hashed import _normalize_rows
+
+    out: dict[str, int] = {}
+    buf: list[np.ndarray] = []
+    buffered = 0
+
+    def flush():
+        nonlocal buffered
+        if not buf:
+            return
+        rows = np.concatenate(buf, axis=0)
+        buf.clear()
+        buffered = 0
+        counts = kmap.get_many(hash_codes_np(rows, hasher))
+        present = counts >= 0
+        if not present.any():
+            return
+        rows, counts = rows[present], counts[present]
+        norm = _normalize_rows(rows)
+        chars = CODE_TO_CHAR[norm.astype(np.int64)]
+        # dedup within the block before the python dict loop
+        uniq, idx = np.unique(chars, axis=0, return_index=True)
+        for row, c in zip(uniq, counts[idx]):
+            out[row.tobytes().decode("ascii")] = int(c)
+
+    for frag in iter_fragments(files, k, min_len, max_len=1 << 30):
+        if len(frag) < k:
+            continue
+        wins = np.lib.stride_tricks.sliding_window_view(
+            np.asarray(frag, np.uint8), k)
+        buf.append(wins)
+        buffered += wins.shape[0]
+        if buffered >= rows_per_batch:
+            flush()
+    flush()
+    return out
+
+
 def seed_keys_of_sequence(seq: str, k: int, hasher: str | None) -> np.ndarray:
     """Canonical keys of every k-window of a sequence, in order (host)."""
     n = len(seq) - k + 1

@@ -73,16 +73,17 @@ class FMTVisualiser(Tool):
     def _count(self, files, hasher):
         return _counter()(files, self.k.get(self), hasher)
 
-    def _subgraph_of(self, kmap) -> dict[str, int]:
+    def _subgraph_of(self, kmap, files) -> dict[str, int]:
         """Materialize normalized-string -> count view of a whole metagenome
-        map (FMTVisualiser.toStr:199-206 for k<=31; LargeKmerLoader for k>31)."""
+        map (FMTVisualiser.toStr:199-206 for k<=31; for k>31 re-stream the
+        metagenome's reads to reconstruct strings, LargeKmerLoader semantics,
+        FMTVisualiser.java:109,129,149)."""
         k = self.k.get(self)
         if self._hasher() is None:
             strings = codes_to_kmers_np(ascii_min_orient(kmap.keys, k), k)
             return dict(zip(strings, kmap.counts.tolist()))
-        raise ExecutionFailedException(
-            "fmt-visualiser with k > 31 requires string reconstruction from "
-            "reads (LargeKmerLoader path): use --k <= 31")
+        from ..counting import load_present_kmer_strings
+        return load_present_kmer_strings(files, k, self._hasher(), kmap)
 
     def run_impl(self) -> None:
         out = self.output_dir.get(self)
@@ -95,7 +96,7 @@ class FMTVisualiser(Tool):
         settle = self._count(self._bin_files("settle"), hasher)
         not_settle = self._count(self._bin_files("not_settle"), hasher)
         self.info("Creating donor image ...")
-        build_colored_picture(self._subgraph_of(donor), k,
+        build_colored_picture(self._subgraph_of(donor, self.donor_files.get(self)), k,
                               two_bin_color(k, hasher, settle, not_settle),
                               out, "donor")
         del donor, settle, not_settle
@@ -105,7 +106,7 @@ class FMTVisualiser(Tool):
         stay = self._count(self._bin_files("stay"), hasher)
         gone = self._count(self._bin_files("gone"), hasher)
         self.info("Creating before image ...")
-        build_colored_picture(self._subgraph_of(before), k,
+        build_colored_picture(self._subgraph_of(before, self.before_files.get(self)), k,
                               two_bin_color(k, hasher, stay, gone),
                               out, "before")
         del before, stay, gone
@@ -118,6 +119,6 @@ class FMTVisualiser(Tool):
         itself = self._count(self._bin_files("came_itself"), hasher)
         self.info("Creating after image ...")
         build_colored_picture(
-            self._subgraph_of(after), k,
+            self._subgraph_of(after, self.after_files.get(self)), k,
             four_bin_color(k, hasher, from_donor, from_before, from_both, itself),
             out, "after")

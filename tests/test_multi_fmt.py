@@ -176,3 +176,107 @@ def test_bin_color_predicates():
     assert c4("ACGTA") == "RED"
     assert c4("TTTTT") == "GREY"  # in 3 bins
     assert c4("GGGGG") == "BLACK"
+
+
+def test_load_present_kmer_strings_matches_host(tmp_path):
+    """LargeKmerLoader equivalent: hashed-map string reconstruction from reads
+    equals the host normalized-kmer -> count dict (k > 31)."""
+    import numpy as np
+    from metacherchant_tpu.counting import (
+        count_kmers_host, load_present_kmer_strings)
+    from metacherchant_tpu.dna import normalize, reverse_complement
+    from collections import Counter
+
+    rng = np.random.default_rng(7)
+    genome = "".join(rng.choice(list("ACGT"), 300))
+    reads = []
+    for _ in range(40):
+        i = rng.integers(0, len(genome) - 60)
+        r = genome[i:i + 60]
+        if rng.random() < 0.5:
+            r = reverse_complement(r)
+        reads.append(r)
+    f = tmp_path / "reads.fasta"
+    f.write_text("".join(f">r{i}\n{r}\n" for i, r in enumerate(reads)))
+
+    k = 33
+    kmap = count_kmers_host([str(f)], k, "poly")
+    got = load_present_kmer_strings([str(f)], k, "poly", kmap)
+    want = Counter()
+    for r in reads:
+        for i in range(len(r) - k + 1):
+            want[normalize(r[i:i + k])] += 1
+    assert got == dict(want)
+
+
+@pytest.mark.parametrize("k", [21, 33])
+def test_cli_fmt_visualiser(tmp_path, k, monkeypatch):
+    """End-to-end fmt-visualiser in both regimes (k>31 exercises the
+    LargeKmerLoader string-reconstruction path)."""
+    import numpy as np
+    from metacherchant_tpu.runner import main as runner_main
+    from metacherchant_tpu.dna import reverse_complement
+
+    monkeypatch.setenv("MC_HOST_COUNT", "1")
+    rng = np.random.default_rng(11)
+    genomes = {"donor": "".join(rng.choice(list("ACGT"), 200)),
+               "before": "".join(rng.choice(list("ACGT"), 200)),
+               "after": "".join(rng.choice(list("ACGT"), 200))}
+
+    def make_reads(g, n):
+        reads = []
+        for _ in range(n):
+            i = rng.integers(0, len(g) - 50)
+            r = g[i:i + 50]
+            if rng.random() < 0.5:
+                r = reverse_complement(r)
+            reads.append(r)
+        return reads
+
+    def write_fastq(path, reads):
+        with open(path, "w") as f:
+            for i, r in enumerate(reads):
+                f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    for name, g in genomes.items():
+        write_fastq(tmp_path / f"{name}.fastq", make_reads(g, 30))
+    bins = tmp_path / "bins"
+    bins.mkdir()
+    stems = ["settle", "not_settle", "stay", "gone", "came_from_donor",
+             "came_from_baseline", "came_from_both", "came_itself"]
+    src = {"settle": "donor", "not_settle": "donor", "stay": "before",
+           "gone": "before"}
+    for stem in stems:
+        g = genomes[src.get(stem, "after")]
+        for x in ("1", "2", "s"):
+            write_fastq(bins / f"{stem}_{x}.fastq", make_reads(g, 5))
+
+    out = tmp_path / "fmt_out"
+    rc = runner_main([
+        "-t", "fmt-visualiser", "-k", str(k),
+        "-donor", str(tmp_path / "donor.fastq"),
+        "-before", str(tmp_path / "before.fastq"),
+        "-after", str(tmp_path / "after.fastq"),
+        "-i", str(bins), "--ext", "fastq",
+        "-o", str(out), "--work-dir", str(tmp_path / "wd"),
+    ])
+    assert rc == 0
+    for name in ("donor", "before", "after"):
+        gfa = out / f"{name}.gfa"
+        assert gfa.exists()
+        s_lines = [l for l in open(gfa) if l.startswith("S")]
+        assert s_lines, name
+        # every unitig k-mer must belong to that metagenome's k-mer set
+        from metacherchant_tpu.dna import normalize
+        kmers = set()
+        g = genomes[name]
+        reads_file = tmp_path / f"{name}.fastq"
+        for line_no, line in enumerate(open(reads_file)):
+            if line_no % 4 == 1:
+                r = line.strip()
+                for i in range(len(r) - k + 1):
+                    kmers.add(normalize(r[i:i + k]))
+        for l in s_lines:
+            seq = l.split("\t")[2]
+            for i in range(len(seq) - k + 1):
+                assert normalize(seq[i:i + k]) in kmers
