@@ -270,10 +270,25 @@ def build_environment(sequences: list[str], k: int, kmap: KmerMap,
     dirs = [0] if both_directions else [-1, 1]
     visited_union = np.empty(0, np.int64)
     fail = True
+    import os
+    use_device = (os.environ.get("MC_DEVICE_BFS") and max_kmers is None
+                  and not trim)
     for direction in dirs:
         if max_kmers is not None:
             res = bfs_fifo(seeds, kmap, k, min_occ, direction,
                            max_radius, max_kmers, collect_last=trim)
+        elif use_device:
+            # whole-BFS single device dispatch (ops/bfs_device.py); exact for
+            # radius-only termination, order-dependent modes stay on host
+            from ..ops.bfs_device import run_device_bfs
+            sarr = np.array(seeds, np.int64)
+            if sarr.size == 0:
+                res = BfsResult(np.empty(0, np.int64), np.empty(0, np.int64),
+                                fail=True)
+            else:
+                vis = run_device_bfs(sarr, kmap, k, min_occ, direction,
+                                     max_radius)
+                res = BfsResult(vis, np.empty(0, np.int64))
         else:
             res = bfs_layered(np.array(seeds, np.int64), kmap, k, min_occ,
                               direction, max_radius, collect_last=trim)

@@ -106,15 +106,25 @@ def build_environment_hashed(sequences: list[str], k: int, kmap: KmerMap,
         occ = _occ_block(kmap, wins, hasher)
         seed_rows.extend(wins[occ >= min_occ])
     dirs = [0] if both_directions else [-1, 1]
+    import os
+    use_device = (os.environ.get("MC_DEVICE_BFS") and max_kmers is None
+                  and not trim)
     union: dict[bytes, np.ndarray] = {}
     fail = True
     for direction in dirs:
         if not seed_rows:
             continue
         fail = False
-        visited = _bfs_layer_fifo(seed_rows, kmap, k, min_occ, hasher,
-                                  direction, max_radius, max_kmers, trim)
-        union.update(visited)
+        if use_device:
+            # multiword whole-BFS single device dispatch (ops/bfs_hashed.py)
+            from ..ops.bfs_hashed import run_device_bfs_hashed
+            rows = run_device_bfs_hashed(np.stack(seed_rows), kmap, k,
+                                         min_occ, hasher, direction, max_radius)
+            union.update({row.tobytes(): row for row in rows})
+        else:
+            visited = _bfs_layer_fifo(seed_rows, kmap, k, min_occ, hasher,
+                                      direction, max_radius, max_kmers, trim)
+            union.update(visited)
     if fail:
         return Environment(k, np.empty(0, np.int64), np.empty(0, np.int32), fail=True)
 

@@ -156,3 +156,27 @@ def test_bothdirs_superset(synthetic):
     e1 = load_graph_txt(os.path.join(out1, "mygene", "graph.txt"))
     e2 = load_graph_txt(os.path.join(out2, "mygene", "graph.txt"))
     assert set(e1) <= set(e2)
+
+
+@pytest.mark.parametrize("k,extra", [(21, []), (33, ["--forcehash", "true"])])
+def test_cli_device_bfs_matches_host(synthetic, monkeypatch, k, extra):
+    """MC_DEVICE_BFS=1 routes the BFS through the whole-environment device
+    engines (exact: ops/bfs_device.py; hashed: ops/bfs_hashed.py multiword);
+    graph.txt must be identical to the host-engine run."""
+    tmp, reads_path, gene_path, gene = synthetic
+    outs = {}
+    for tag, dev in (("host", None), ("dev", "1")):
+        if dev:
+            monkeypatch.setenv("MC_DEVICE_BFS", dev)
+        else:
+            monkeypatch.delenv("MC_DEVICE_BFS", raising=False)
+        out = str(tmp / f"out_devbfs_{k}_{tag}")
+        rc = runner_main([
+            "-t", "environment-finder",
+            "-k", str(k), "-i", reads_path, "--seq", gene_path,
+            "-o", out, "--coverage", "2", "--maxradius", "30",
+            "--work-dir", str(tmp / f"wd_devbfs_{k}_{tag}"),
+        ] + (["--forcehash", "true"] if k > 31 or extra else []))
+        assert rc == 0
+        outs[tag] = load_graph_txt(os.path.join(out, "mygene", "graph.txt"))
+    assert outs["dev"] == outs["host"] and outs["host"]
