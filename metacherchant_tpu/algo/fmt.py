@@ -144,14 +144,35 @@ def build_colored_picture(subgraph: dict[str, int], k: int,
     def is_gene(seq: str, rc: str) -> bool:
         return seq in gene_windows or rc in gene_windows
 
-    nodes = build_node_graph(
-        sorted(subgraph), k,
-        is_gene=is_gene if gene_sequence is not None else None,
-        color_of=color_of)
-    if merge_on_gene:
-        do_merge(nodes, k, tag=lambda n: (n.color, n.is_gene))
+    use_device = os.environ.get("MC_DEVICE_CONTRACT") and k % 2 == 1 and k <= 31
+    if use_device:
+        # whole-metagenome pictures are the scale case: pointer-jumping
+        # contraction in one device dispatch (ops/contraction_device.py)
+        from ..ops.contraction_device import contract_device
+
+        def tag_of(seq: str, rc: str):
+            c = color_of(seq)
+            if merge_on_gene:
+                return (c, is_gene(seq, rc))
+            return c
+
+        def decorate(node, tag):
+            if isinstance(tag, tuple):
+                node.color, node.is_gene = tag
+            else:
+                node.color = tag
+
+        nodes = contract_device(sorted(subgraph), k, tag_of=tag_of,
+                                decorate=decorate)
     else:
-        do_merge(nodes, k, tag=lambda n: n.color)
+        nodes = build_node_graph(
+            sorted(subgraph), k,
+            is_gene=is_gene if gene_sequence is not None else None,
+            color_of=color_of)
+        if merge_on_gene:
+            do_merge(nodes, k, tag=lambda n: (n.color, n.is_gene))
+        else:
+            do_merge(nodes, k, tag=lambda n: n.color)
     _write_named_seqs(os.path.join(output_prefix, f"{name}_seqs.fasta"),
                       nodes, seq_id_mode)
     write_gfa(os.path.join(output_prefix, f"{name}.gfa"), nodes, k, subgraph)
