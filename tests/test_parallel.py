@@ -89,3 +89,35 @@ def test_graft_entry_multichip():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     ge.dryrun_multichip(8)
+
+
+def test_sharded_bfs_matches_host(mesh):
+    """8-shard frontier-exchange BFS == host layered BFS, all directions."""
+    import numpy as np
+    from metacherchant_tpu.kmer_map import KmerMap
+    from metacherchant_tpu.counting import count_sequences_host
+    from metacherchant_tpu.algo.environment import (
+        bfs_layered, seed_codes_of_sequences)
+    from metacherchant_tpu.parallel.sharded_bfs import run_sharded_bfs
+    from metacherchant_tpu.dna import reverse_complement
+
+    k = 15
+    rng = np.random.default_rng(21)
+    genome = "".join(rng.choice(list("ACGT"), 600))
+    reads = []
+    for _ in range(120):
+        i = rng.integers(0, len(genome) - 60)
+        r = genome[i:i + 60]
+        if rng.random() < 0.5:
+            r = reverse_complement(r)
+        reads.append(r)
+    kmap = count_sequences_host(reads, k)
+    gene = genome[200:260]
+    seeds = np.array(seed_codes_of_sequences([gene], k, kmap, 1), np.int64)
+    assert seeds.size
+    for direction in (-1, 1, 0):
+        for max_radius in (None, 5):
+            want = bfs_layered(seeds, kmap, k, 1, direction, max_radius)
+            got = run_sharded_bfs(seeds, kmap, k, 1, direction, max_radius,
+                                  mesh)
+            assert (got == want.visited).all(), (direction, max_radius)
