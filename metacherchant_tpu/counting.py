@@ -53,6 +53,57 @@ def iter_fragments(files: Iterable[str], k: int, min_len: int,
             yield from _chunk_fragment(frag, k, max_len)
 
 
+def _native_batches(path: str, k: int, min_len: int, batch: int,
+                    max_len: int) -> Iterator[np.ndarray] | None:
+    """Whole-file packed (batch, max_len) code batches via the native parser
+    + vectorized chunking/packing; None -> caller uses the Python per-fragment
+    path. Chunking semantics identical to _chunk_fragment."""
+    from . import native
+    from .io.readers import detect_file_format, determine_quality_format
+    try:
+        fmt = detect_file_format(path)
+    except IOError:
+        return None
+    if not (native.supports(fmt) and native.available()):
+        return None
+    qoffset = 33
+    if fmt.split(".")[0] == "fastq":
+        qoffset = 33 if determine_quality_format(path) == "sanger" else 64
+    try:
+        codes, offs = native.parse_fragments(path, fmt, qoffset)
+    except native.NativeIOError as e:
+        if "Invalid nucleotide" in str(e):
+            from .io.readers import SequenceError
+            raise SequenceError(str(e)) from None
+        return None
+
+    def gen():
+        lens = np.diff(offs)
+        starts = offs[:-1]
+        keep = lens >= max(min_len, k)
+        lens_k, starts_k = lens[keep], starts[keep]
+        if lens_k.size == 0:
+            return
+        stride = max_len - (k - 1)
+        nch = np.where(lens_k <= max_len, 1,
+                       -(-(lens_k - (k - 1)) // stride)).astype(np.int64)
+        frag_id = np.repeat(np.arange(starts_k.size), nch)
+        first = np.repeat(np.cumsum(nch) - nch, nch)
+        rank = np.arange(frag_id.size) - first
+        cstart = starts_k[frag_id] + rank * stride
+        clen = np.minimum(max_len, lens_k[frag_id] - rank * stride)
+        ar = np.arange(max_len)
+        for b0 in range(0, cstart.size, batch):
+            cs, cl = cstart[b0:b0 + batch], clen[b0:b0 + batch]
+            out = np.full((batch, max_len), -1, np.int32)
+            mask = ar[None, :] < cl[:, None]
+            src = cs[:, None] + ar[None, :]
+            out[: cs.size][mask] = codes[src[mask]]
+            yield out
+
+    return gen()
+
+
 def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
                        min_len: int = 0, batch: int = DEFAULT_BATCH,
                        max_len: int = DEFAULT_LEN,
@@ -62,6 +113,8 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
 
     engine: 'sort' (default; loop-free append + bulk-sort consolidation,
     ops/sortcount.py) or 'hash' (open-addressing table, ops/hashtable.py).
+    Ingestion uses the native (C++) parser + vectorized packing per file when
+    available, else the Python per-fragment readers.
     """
     import os
     engine = engine or os.environ.get("MC_COUNT_ENGINE", "sort")
@@ -88,10 +141,18 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
         progress.update(len(buf))
         buf.clear()
 
-    for frag in iter_fragments(files, k, min_len, max_len):
-        buf.append(frag)
-        if len(buf) == batch:
-            flush()
+    for f in files:
+        nb = _native_batches(str(f), k, min_len, batch, max_len)
+        if nb is not None:
+            flush()  # keep batches file-aligned on the native path
+            for packed in nb:
+                sink(jnp.asarray(packed))
+                progress.update(batch)
+            continue
+        for frag in iter_fragments([f], k, min_len, max_len):
+            buf.append(frag)
+            if len(buf) == batch:
+                flush()
     flush()
     if engine == "sort":
         keys, counts = counter.finalize()

@@ -213,6 +213,12 @@ def iter_reads_split(path: str, fmt: str | None = None, quality: str | None = No
     """
     fmt = fmt or detect_file_format(path)
     base = fmt.split(".")[0]
+    native_frags = _try_native(path, fmt, quality)
+    if native_frags is not None:
+        codes, offs = native_frags
+        for i in range(offs.size - 1):
+            yield codes[offs[i]:offs[i + 1]]
+        return
     if base == "fasta":
         with open_maybe_compressed(path) as fh:
             for _, seq in _iter_fasta_records(fh):
@@ -224,6 +230,26 @@ def iter_reads_split(path: str, fmt: str | None = None, quality: str | None = No
     else:
         for dnaq in iter_dnaq(path, fmt, quality):
             yield from _fragments_from_dnaq(dnaq.codes, dnaq.phred)
+
+
+def _try_native(path: str, fmt: str, quality: str | None):
+    """Native (C++) parse when available; None -> use the Python readers."""
+    from .. import native
+    if not (native.supports(fmt) and native.available()):
+        return None
+    base = fmt.split(".")[0]
+    qoffset = 33
+    if base == "fastq":
+        if quality in ("sanger", "illumina"):
+            qoffset = 33 if quality == "sanger" else 64
+        else:
+            qoffset = 33 if determine_quality_format(path) == "sanger" else 64
+    try:
+        return native.parse_fragments(path, fmt, qoffset)
+    except native.NativeIOError as e:
+        if "Invalid nucleotide" in str(e):
+            raise SequenceError(str(e)) from None
+        return None
 
 
 @dataclass
