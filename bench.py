@@ -44,11 +44,11 @@ from metacherchant_tpu.ops.kmers import exact_canonical_kmers
 EST_JAVA_RATE = 4.0e7  # est. reference JVM k-mers/s (see module docstring)
 
 K = 31
-BATCH = 4096
+BATCH = int(os.environ.get("MC_BENCH_BATCH", "4096"))
 LEN = 256
 TABLE_LOG2 = 24
-M_SMALL = 2
-M_BIG = 42
+M_SMALL = int(os.environ.get("MC_BENCH_MSMALL", "2"))
+M_BIG = int(os.environ.get("MC_BENCH_MBIG", "42"))
 PRIMARY_BUDGET_S = int(os.environ.get("MC_BENCH_BUDGET", "780"))
 
 
