@@ -101,6 +101,11 @@ class Tool:
             "start", str, description="first stage to run"))
         self.finish_stage = self.add_parameter(Parameter(
             "finish", str, description="last stage to run"))
+        # tracing/profiling (the reference has none, SURVEY §5.1; the TPU
+        # equivalent is a jax profiler trace viewable in xprof/tensorboard)
+        self.profile_dir = self.add_parameter(Parameter(
+            "profile", str,
+            description="write a jax profiler trace of the run to this dir"))
         self.logger = logging.getLogger("metacherchant")
 
     # -- parameter plumbing -------------------------------------------------
@@ -208,7 +213,14 @@ class Tool:
             os.makedirs(wd, exist_ok=True)
             with open(self._in_props_path(), "w") as f:
                 f.write(props)
-            self.run_impl()
+            prof = self.profile_dir.get(self)
+            if prof:
+                import jax
+                self.logger.info("Profiling run to %s", prof)
+                with jax.profiler.trace(prof):
+                    self.run_impl()
+            else:
+                self.run_impl()
             self.clean_impl()
             with open(success, "w"):
                 pass

@@ -180,3 +180,16 @@ def test_cli_device_bfs_matches_host(synthetic, monkeypatch, k, extra):
         assert rc == 0
         outs[tag] = load_graph_txt(os.path.join(out, "mygene", "graph.txt"))
     assert outs["dev"] == outs["host"] and outs["host"]
+
+
+def test_cli_profile_writes_trace(synthetic, tmp_path):
+    """--profile wraps the run in a jax profiler trace (SURVEY §5.1 aux)."""
+    tmp, reads_path, gene_path, gene = synthetic
+    trace_dir = str(tmp_path / "trace")
+    rc = runner_main([
+        "-t", "kmer-counter", "-k", "21", "-i", reads_path,
+        "--work-dir", str(tmp_path / "wd"), "--profile", trace_dir,
+    ])
+    assert rc == 0
+    prof = os.path.join(trace_dir, "plugins", "profile")
+    assert os.path.isdir(prof) and os.listdir(prof)
