@@ -120,11 +120,28 @@ class EnvironmentFinderMain(Tool):
             max_kmers=self.max_kmers.get(self),
             trim=self.trim_paths.get(self), hasher=hasher)
         if not self.do_merge.get(self):
-            for rec in records:
-                # per-gene dir named by FASTA comment (:245-249)
-                prefix = os.path.join(out, rec.comment)
-                run_one_sequence([rec.seq], output_prefix=prefix,
-                                 merged=False, **common)
+            # one calculator per gene, task-parallel like the reference's
+            # ExecutorService (src/tools/EnvironmentFinderMain.java:218-233);
+            # the shared kmap is read-only and the heavy numpy/device ops
+            # release the GIL
+            workers = max(1, min(self.available_processors.get(self),
+                                 len(records)))
+            if workers == 1:
+                for rec in records:
+                    # per-gene dir named by FASTA comment (:245-249)
+                    prefix = os.path.join(out, rec.comment)
+                    run_one_sequence([rec.seq], output_prefix=prefix,
+                                     merged=False, **common)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    futs = [
+                        ex.submit(run_one_sequence, [rec.seq],
+                                  output_prefix=os.path.join(out, rec.comment),
+                                  merged=False, **common)
+                        for rec in records]
+                    for f in futs:
+                        f.result()
         else:
             self.info("hicSequences = %d", len(hic_records))
             prefix = os.path.join(out, "merged")

@@ -193,3 +193,31 @@ def test_cli_profile_writes_trace(synthetic, tmp_path):
     assert rc == 0
     prof = os.path.join(trace_dir, "plugins", "profile")
     assert os.path.isdir(prof) and os.listdir(prof)
+
+
+def test_cli_multigene_parallel_matches_serial(synthetic, tmp_path):
+    """Per-gene task parallelism (-p) produces identical per-gene outputs."""
+    tmp, reads_path, gene_path, gene = synthetic
+    genes3 = tmp_path / "genes3.fasta"
+    rng = np.random.default_rng(3)
+    # three genes carved from the same synthetic genome as the fixture
+    with open(gene_path) as f:
+        pass
+    # rebuild the fixture genome deterministically (same as synthetic fixture)
+    g_rng = np.random.default_rng(7)
+    genome = "".join(g_rng.choice(list("ACGT"), size=2000))
+    genes3.write_text(f">gA\n{genome[800:900]}\n>gB\n{genome[200:300]}\n"
+                      f">gC\n{genome[1500:1600]}\n")
+    outs = {}
+    for tag, p in (("serial", "1"), ("par", "4")):
+        out = str(tmp_path / f"mg_{tag}")
+        rc = runner_main([
+            "-t", "environment-finder", "-k", "21", "-i", reads_path,
+            "--seq", str(genes3), "-o", out, "-p", p,
+            "--coverage", "2", "--maxradius", "40",
+            "--work-dir", str(tmp_path / f"wd_{tag}")])
+        assert rc == 0
+        outs[tag] = {
+            gname: load_graph_txt(os.path.join(out, gname, "graph.txt"))
+            for gname in ("gA", "gB", "gC")}
+    assert outs["par"] == outs["serial"]
