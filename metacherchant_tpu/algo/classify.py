@@ -142,11 +142,29 @@ def batch_widths(batch: ReadBatch, kmap: KmerMap, k: int,
 
 def _coverage(batch: ReadBatch, kmap: KmerMap, k: int,
               hasher: str | None) -> np.ndarray:
+    import os
+    if os.environ.get("MC_DEVICE_CLASSIFY") and batch.codes.shape[1] >= k:
+        return _coverage_device(batch, kmap, k, hasher)
     keys = rolling_keys_np(batch.codes, k, hasher)
     if keys.size == 0:
         return np.zeros((batch.codes.shape[0], 0), np.int32)
     cov = kmap.get_many(keys)
     return np.maximum(cov, 0)  # getWithZero
+
+
+def _coverage_device(batch: ReadBatch, kmap: KmerMap, k: int,
+                     hasher: str | None) -> np.ndarray:
+    """Device data-parallel coverage (SURVEY §2.3 P3): fused rolling canonical
+    key extraction + sorted-map probe on device, one dispatch per batch.
+    Padded codes are 0 (=A); garbage windows beyond each read's length are
+    masked later by _coverage_stats, same as the numpy path."""
+    import jax.numpy as jnp
+    from ..ops.kmers import canonical_kmers
+    keys_end, _ = canonical_kmers(jnp.asarray(batch.codes, jnp.int32), k,
+                                  hasher)
+    keys = keys_end[:, k - 1:]        # window-start indexing, W = L - k + 1
+    cov = kmap.lookup_device(keys.reshape(-1)).reshape(keys.shape)
+    return np.maximum(np.asarray(cov), 0)
 
 
 def find_reads(batch: ReadBatch, kmap: KmerMap, k: int, hasher: str | None,

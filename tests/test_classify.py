@@ -163,3 +163,37 @@ def test_cli_reads_classifier(tmp_path):
     assert n_found >= 15       # most in-graph reads classified found
     assert n_not >= 15         # most random reads not found
     assert n_found + n_not <= 40
+
+
+@pytest.mark.parametrize("hasher", [None, "poly"])
+def test_device_classify_matches_numpy(hasher, monkeypatch):
+    """MC_DEVICE_CLASSIFY routes coverage through the fused device kernel;
+    find_reads verdicts must be identical to the numpy path."""
+    import numpy as np
+    from metacherchant_tpu.algo.classify import ReadBatch, find_reads
+    from metacherchant_tpu.counting import count_sequences_host
+    from metacherchant_tpu.dna import reverse_complement
+    from metacherchant_tpu.io.readers import DnaQ
+
+    k = 21
+    rng = np.random.default_rng(33)
+    genome = "".join(rng.choice(list("ACGT"), 800))
+    reads = []
+    for _ in range(100):
+        i = rng.integers(0, len(genome) - 60)
+        r = genome[i:i + 60]
+        if rng.random() < 0.5:
+            r = reverse_complement(r)
+        reads.append(r)
+    kmap = count_sequences_host(reads, k, hasher)
+    # mixed batch: in-graph reads, random reads, a too-short read
+    queries = reads[:30] + ["".join(rng.choice(list("ACGT"), 60))
+                            for _ in range(30)] + ["ACGT"]
+    batch = ReadBatch.from_dnaqs([DnaQ.from_string(q, 30) for q in queries])
+
+    monkeypatch.delenv("MC_DEVICE_CLASSIFY", raising=False)
+    want = find_reads(batch, kmap, k, hasher, 1.96, 0.9)
+    monkeypatch.setenv("MC_DEVICE_CLASSIFY", "1")
+    got = find_reads(batch, kmap, k, hasher, 1.96, 0.9)
+    assert (got == want).all()
+    assert want[:30].all() and not want[-1]
