@@ -118,7 +118,25 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
     """
     import os
     engine = engine or os.environ.get("MC_COUNT_ENGINE", "sort")
-    if engine == "sort":
+    if engine == "sharded":
+        # multi-chip: per-host disjoint file shards, DP batches over the
+        # global mesh, hash-sharded table with all_to_all key routing
+        # (parallel/sharded_count.py; SURVEY §2.3 P1/P2/P5)
+        from .parallel.distributed import (
+            initialize_distributed, shard_files_for_host, global_mesh)
+        from .parallel.sharded_count import ShardedCounter
+        import jax
+        initialize_distributed()
+        files = shard_files_for_host([str(f) for f in files])
+        mesh = global_mesh()
+        n = mesh.devices.size
+        batch = max(n, (batch // n) * n)
+        per_shard = max(table_log2 - int(np.log2(n)) + 1, 12)
+        counter = ShardedCounter(mesh, k, hasher,
+                                 capacity_log2_per_shard=per_shard,
+                                 batch=batch, max_len=max_len)
+        sink = lambda codes: counter.add_codes(np.asarray(codes))
+    elif engine == "sort":
         from .ops.sortcount import StreamCounter
         counter = StreamCounter(
             buffer_cap_log2=max(table_log2 + 2,
@@ -154,8 +172,9 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
             if len(buf) == batch:
                 flush()
     flush()
-    if engine == "sort":
-        keys, counts = counter.finalize()
+    if engine in ("sort", "sharded"):
+        keys, counts = (counter.finalize() if engine == "sort"
+                        else counter.items_host())
     else:
         keys, counts = table.items_host()
     logger.debug("k-mers HM size = %d", len(keys))

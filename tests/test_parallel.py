@@ -121,3 +121,27 @@ def test_sharded_bfs_matches_host(mesh):
             got = run_sharded_bfs(seeds, kmap, k, 1, direction, max_radius,
                                   mesh)
             assert (got == want.visited).all(), (direction, max_radius)
+
+
+def test_count_kmers_device_sharded_engine(mesh, tmp_path, monkeypatch):
+    """count_kmers_device(engine='sharded') over the 8-device mesh equals the
+    host oracle (CLI-reachable via MC_COUNT_ENGINE=sharded)."""
+    import numpy as np
+    from metacherchant_tpu.counting import count_kmers_device, count_kmers_host
+    from metacherchant_tpu.dna import reverse_complement
+
+    rng = np.random.default_rng(41)
+    genome = "".join(rng.choice(list("ACGT"), 500))
+    p = tmp_path / "r.fastq"
+    with open(p, "w") as f:
+        for i in range(200):
+            s = int(rng.integers(0, len(genome) - 60))
+            r = genome[s:s + 60]
+            if rng.random() < 0.5:
+                r = reverse_complement(r)
+            f.write(f"@r{i}\n{r}\n+\n{'I' * 60}\n")
+    got = count_kmers_device([str(p)], 21, engine="sharded",
+                             batch=64, max_len=64, table_log2=14)
+    want = count_kmers_host([str(p)], 21)
+    assert (got.keys == want.keys).all()
+    assert (got.counts == want.counts).all()
