@@ -273,6 +273,11 @@ def build_environment(sequences: list[str], k: int, kmap: KmerMap,
     import os
     use_device = (os.environ.get("MC_DEVICE_BFS") and max_kmers is None
                   and not trim)
+    device_table = None
+    if use_device and seeds:
+        # build the device table once; both direction passes probe it
+        from ..ops.hashtable import DeviceHashTable
+        device_table = DeviceHashTable.from_kmer_map(kmap)
     for direction in dirs:
         if max_kmers is not None:
             res = bfs_fifo(seeds, kmap, k, min_occ, direction,
@@ -286,8 +291,8 @@ def build_environment(sequences: list[str], k: int, kmap: KmerMap,
                 res = BfsResult(np.empty(0, np.int64), np.empty(0, np.int64),
                                 fail=True)
             else:
-                vis = run_device_bfs(sarr, kmap, k, min_occ, direction,
-                                     max_radius)
+                vis = run_device_bfs(sarr, device_table, k, min_occ,
+                                     direction, max_radius)
                 res = BfsResult(vis, np.empty(0, np.int64))
         else:
             res = bfs_layered(np.array(seeds, np.int64), kmap, k, min_occ,

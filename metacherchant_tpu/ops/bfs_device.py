@@ -200,19 +200,8 @@ def run_device_bfs(seed_codes: np.ndarray, kmap_or_table, k: int,
     from .hashtable import DeviceHashTable
     from ..kmer_map import KmerMap
     if isinstance(kmap_or_table, KmerMap):
-        # build a read-only device table from sorted pairs
-        n = max(len(kmap_or_table), 1)
-        cap = 1 << max(int(np.ceil(np.log2(n / 0.5 + 1))), 4)
-        table = DeviceHashTable(capacity_log2=int(np.log2(cap)))
-        pad = 1 << int(np.ceil(np.log2(n + 1)))
-        bk = np.full(pad, SENTINEL, np.int64)
-        bc = np.zeros(pad, np.int32)
-        bk[:len(kmap_or_table)] = kmap_or_table.keys
-        bc[:len(kmap_or_table)] = kmap_or_table.counts
-        from .hashtable import _insert_unique_kernel
-        tkeys, tcnts, _, ovf = _insert_unique_kernel(
-            table.tkeys, table.tcnts, jnp.asarray(bk), jnp.asarray(bc))
-        assert not bool(ovf)
+        table = DeviceHashTable.from_kmer_map(kmap_or_table)
+        tkeys, tcnts = table.tkeys, table.tcnts
         est = len(kmap_or_table)
     else:
         tkeys, tcnts = kmap_or_table.tkeys, kmap_or_table.tcnts

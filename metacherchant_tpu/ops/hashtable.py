@@ -182,6 +182,25 @@ class DeviceHashTable:
         self._pending_bound = 0         # upper bound on new keys since sync
         self._overflow_flags: list[jax.Array] = []
 
+    @classmethod
+    def from_kmer_map(cls, kmap) -> "DeviceHashTable":
+        """One-shot build of a read-only device table from a KmerMap."""
+        import numpy as np
+        n = max(len(kmap), 1)
+        cap_log2 = max(int(np.ceil(np.log2(n / 0.5 + 1))), 4)
+        table = cls(capacity_log2=cap_log2)
+        pad = 1 << int(np.ceil(np.log2(n + 1)))
+        bk = np.full(pad, EMPTY, np.int64)
+        bc = np.zeros(pad, np.int32)
+        bk[: len(kmap)] = kmap.keys
+        bc[: len(kmap)] = kmap.counts
+        table.tkeys, table.tcnts, new, ovf = _insert_unique_kernel(
+            table.tkeys, table.tcnts, jnp.asarray(bk), jnp.asarray(bc))
+        assert not bool(ovf)
+        table._size_dev = new.astype(jnp.int32)
+        table._size_confirmed = len(kmap)
+        return table
+
     # -- size bookkeeping ---------------------------------------------------
     @property
     def size(self) -> int:
