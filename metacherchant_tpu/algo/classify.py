@@ -108,6 +108,9 @@ def _coverage_stats(cov: np.ndarray, lengths: np.ndarray, k: int):
     """cov (B, W) with garbage beyond n_i = len_i - k + 1 windows.
     Returns (cov_mean, width) per read; reads with len < k get 0s."""
     B, W = cov.shape
+    if W == 0:  # every read shorter than k (e.g. all-empty mate batch)
+        zeros = np.zeros(B, np.float64)
+        return zeros, zeros.copy(), np.zeros(B, bool)
     n = np.maximum(lengths - k + 1, 0)
     col = np.arange(W)[None, :]
     valid = col < n[:, None]

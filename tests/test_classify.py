@@ -197,3 +197,31 @@ def test_device_classify_matches_numpy(hasher, monkeypatch):
     got = find_reads(batch, kmap, k, hasher, 1.96, 0.9)
     assert (got == want).all()
     assert want[:30].all() and not want[-1]
+
+
+def test_cli_reads_classifier_single_file(tmp_path):
+    """Single-end mode (-r one file): found reads go to found_s, pair bins
+    stay empty (ReadsClassifier.java:205-221 single-end convention)."""
+    from metacherchant_tpu.runner import main as runner_main
+    rng = np.random.default_rng(10)
+    genome = "".join(rng.choice(list("ACGT"), size=2000))
+    graph_reads = [genome[int(rng.integers(0, 1900)):][:80] for _ in range(300)]
+    in_graph = [genome[int(rng.integers(0, 1900)):][:70] for _ in range(20)]
+    random_reads = ["".join(rng.choice(list("ACGT"), size=70)) for _ in range(20)]
+    gpath = str(tmp_path / "graph.fastq")
+    with open(gpath, "w") as f:
+        for i, r in enumerate(graph_reads):
+            f.write(f"@g{i}\n{r}\n+\n{'I' * len(r)}\n")
+    r1 = str(tmp_path / "r1.fastq")
+    with open(r1, "w") as f:
+        for i, r in enumerate(in_graph + random_reads):
+            f.write(f"@p{i}\n{r}\n+\n{'I' * len(r)}\n")
+    out = str(tmp_path / "out")
+    rc = runner_main([
+        "-t", "reads-classifier", "-k", "21", "-i", gpath,
+        "-r", r1, "-o", out, "--work-dir", str(tmp_path / "wd")])
+    assert rc == 0
+    n_s = open(os.path.join(out, "found_s.fastq")).read().count("@p")
+    n_ns = open(os.path.join(out, "not_found_s.fastq")).read().count("@p")
+    assert n_s >= 15 and n_ns >= 15
+    assert open(os.path.join(out, "found_1.fastq")).read() == ""
