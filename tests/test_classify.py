@@ -221,7 +221,7 @@ def test_cli_reads_classifier_single_file(tmp_path):
         "-t", "reads-classifier", "-k", "21", "-i", gpath,
         "-r", r1, "-o", out, "--work-dir", str(tmp_path / "wd")])
     assert rc == 0
-    n_s = open(os.path.join(out, "found_s.fastq")).read().count("@p")
-    n_ns = open(os.path.join(out, "not_found_s.fastq")).read().count("@p")
+    n_s = len(open(os.path.join(out, "found_s.fastq")).read().splitlines()) // 4
+    n_ns = len(open(os.path.join(out, "not_found_s.fastq")).read().splitlines()) // 4
     assert n_s >= 15 and n_ns >= 15
     assert open(os.path.join(out, "found_1.fastq")).read() == ""
