@@ -55,9 +55,11 @@ def read_dnaq_list(path: str) -> list[DnaQ]:
     return list(iter_dnaq(path))
 
 
-def dnaq_fastq_records(dnaqs, prefix="r"):
+def dnaq_fastq_records(dnaqs):
+    """Reads are renamed to 1-based sequence numbers, matching the reference
+    writer's DataCounter comments (itmo:io/writers/DataCounter.java:22-24)."""
     for i, d in enumerate(dnaqs):
-        yield f"{prefix}{i}", d.to_string(), d.phred
+        yield f"{i + 1}", d.to_string(), d.phred
 
 
 class ReadsClassifier(Tool):
