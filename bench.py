@@ -30,8 +30,11 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# JAX_COMPILATION_CACHE_DIR is ignored under the tunneled-TPU plugin; the
+# package init applies MC_JAX_CACHE through jax.config.update, which works.
+os.environ.setdefault("MC_JAX_CACHE",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
 
 # Real device: do NOT force cpu here (the session platform is the tunneled TPU).
 import metacherchant_tpu  # noqa: F401  (x64)

@@ -20,4 +20,12 @@ jax.config.update("jax_enable_x64", True)
 if os.environ.get("MC_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MC_PLATFORM"])
 
+# Persistent compilation cache. The JAX_COMPILATION_CACHE_DIR env var is
+# ignored under some plugin backends (observed on the tunneled TPU, where
+# kernel compiles cost minutes); jax.config.update always works. Opt-in via
+# MC_JAX_CACHE=<dir> so tests/CI keep a clean slate by default.
+if os.environ.get("MC_JAX_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", os.environ["MC_JAX_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 __version__ = "0.1.0"

@@ -44,32 +44,32 @@ def _append_kernel(buf, offset, codes, k: int, hasher: str | None):
 
 
 def _rle_sorted(all_keys, all_w, m):
-    """Scatter-free run-length-encode of a key/weight multiset.
+    """Gather-free run-length-encode of a key/weight multiset.
 
-    TPU scatters (the lowering of segment_sum/segment_max) execute orders of
-    magnitude slower than sorts at these sizes, so the RLE uses only sorts,
-    scans and gathers: sort by key; per-run weight sums via cumulative-sum
-    differences at run boundaries; compaction of the run heads via a second
-    sort that pushes non-heads (rekeyed to SENTINEL) to the back.
-    Returns (keys[:m], cnts[:m], n_distinct)."""
-    N = all_keys.shape[0]
-    order = jnp.argsort(all_keys)
-    s = all_keys[order]
-    w = all_w[order]
+    TPU scatters (the lowering of segment_sum/segment_max) and large random
+    gathers (~50ms per 1M lanes into a multi-MB table) are both orders of
+    magnitude slower than sorts and scans, so the RLE uses ONLY sorts and
+    scans: a two-operand key sort carries the weights along (no argsort +
+    gather); per-run weight totals come from a segmented-sum associative scan
+    that resets at run heads (no prefix-sum gathers); run heads are compacted
+    by a second two-operand sort that pushes non-heads (rekeyed to SENTINEL)
+    to the back. Returns (keys[:m], cnts[:m], n_distinct)."""
+    s, w = jax.lax.sort((all_keys, all_w.astype(jnp.int64)), num_keys=1)
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-    idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
-    # exclusive index of the next run head after i (N if none): reverse cummin
-    head_idx = jnp.where(first, idx, N)
-    next_head = jax.lax.associative_scan(
-        jnp.minimum, jnp.flip(head_idx))
-    next_head = jnp.flip(next_head)          # min head index at position >= i
-    next_head = jnp.concatenate([next_head[1:], jnp.full((1,), N, jnp.int32)])
-    cw = jnp.cumsum(w.astype(jnp.int64))     # inclusive prefix sums
-    cw_pad = jnp.concatenate([jnp.zeros((1,), jnp.int64), cw])
-    run_sum = cw_pad[jnp.minimum(next_head, N)] - cw_pad[idx]
-    # compact run heads: rekey non-heads to SENTINEL and sort once more
-    key2 = jnp.where(first, s, SENTINEL)
-    sum2 = jnp.where(first, run_sum, 0)
+    last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+
+    # segmented inclusive sum of w, resetting at run heads: classic
+    # (flag, sum) semigroup
+    def seg_add(a, b):
+        af, asum = a
+        bf, bsum = b
+        return af | bf, jnp.where(bf, bsum, asum + bsum)
+
+    _, run_sum = jax.lax.associative_scan(seg_add, (first, w))
+    # compact run LASTS (which carry the full run total) via one more sort
+    real = last & (s != SENTINEL)
+    key2 = jnp.where(real, s, SENTINEL)
+    sum2 = jnp.where(real, run_sum, 0)
     keys_c, sums_c = jax.lax.sort((key2, sum2), num_keys=1)
     keys_c = jnp.where(sums_c > 0, keys_c, SENTINEL)
     # clamp far above the 32767 output saturation so repeated consolidations
