@@ -133,3 +133,35 @@ def test_rich_fasta_comments(tmp_path):
     recs = read_rich_fasta(p)
     assert [(r.comment, r.seq) for r in recs] == [
         ("gene_one extra", "ACGTACGT"), ("second", "TTTT")]
+
+
+def test_rle_sorted_weighted_oracle():
+    """_rle_sorted vs a numpy oracle: weighted multiset RLE with SENTINEL
+    padding, run-total counts, and n_distinct/overflow reporting."""
+    import jax.numpy as jnp
+    from metacherchant_tpu.ops.sortcount import _rle_sorted
+    from metacherchant_tpu.ops.kmers import SENTINEL
+
+    rng = np.random.default_rng(5)
+    n = 4096
+    keys = rng.integers(0, 300, size=n).astype(np.int64)
+    w = rng.integers(1, 40000, size=n).astype(np.int64)  # crosses 32767
+    sent = rng.random(n) < 0.25
+    keys[sent] = SENTINEL
+    w2 = np.where(sent, 0, w)
+
+    m = 1024
+    ks, cs, nd = _rle_sorted(jnp.asarray(keys), jnp.asarray(w2.astype(np.int32)), m)
+    ks, cs, nd = np.asarray(ks), np.asarray(cs), int(nd)
+
+    want = {}
+    for kk, ww in zip(keys, w2):
+        if kk != SENTINEL and ww > 0:
+            want[int(kk)] = min(want.get(int(kk), 0) + int(ww), 1_000_000_000)
+    got = {int(k): int(c) for k, c in zip(ks, cs) if k != SENTINEL}
+    assert got == want
+    assert nd == len(want)
+    # compacted: all live keys first, sorted ascending
+    live = ks[ks != SENTINEL]
+    assert np.all(np.diff(live) > 0)
+    assert np.all(ks[len(live):] == SENTINEL)
