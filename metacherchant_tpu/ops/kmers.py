@@ -21,6 +21,7 @@ codes is >= k. Invalid positions emit SENTINEL (int64 max).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -127,8 +128,18 @@ def hash_canonical_kmers(codes: jax.Array, k: int, hash_name: str) -> tuple[jax.
 
 def canonical_kmers(codes: jax.Array, k: int, hasher: str | None) -> tuple[jax.Array, jax.Array]:
     """Dispatch per the reference regime selection
-    (src/tools/EnvironmentFinderMain.java:127-154): hasher None -> exact codes."""
+    (src/tools/EnvironmentFinderMain.java:127-154): hasher None -> exact codes.
+
+    MC_PALLAS_EXTRACT=1 routes eligible exact-regime batches (k<=31, batch a
+    multiple of 1024) through the hand-written Mosaic rolling-extraction
+    kernel (ops/pallas_kmers.py) instead of the XLA scan; on non-TPU backends
+    the kernel runs in interpret mode so the route stays testable."""
     if hasher is None:
+        if (os.environ.get("MC_PALLAS_EXTRACT") == "1" and k <= 31
+                and codes.ndim == 2 and codes.shape[0] % 1024 == 0):
+            from .pallas_kmers import exact_canonical_kmers_pallas
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            return exact_canonical_kmers_pallas(codes, k, interpret=interpret)
         return exact_canonical_kmers(codes, k)
     return hash_canonical_kmers(codes, k, hasher)
 
