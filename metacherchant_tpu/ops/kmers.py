@@ -80,13 +80,60 @@ def exact_canonical_kmers(codes: jax.Array, k: int) -> tuple[jax.Array, jax.Arra
     return jnp.where(ok, keys.T, SENTINEL), ok
 
 
+def _poly_windowed_hash(codes: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """O(B*L) closed-form polynomial window hash (vs the O(k*B*L) loop).
+
+    The Java hash (src/utils/PolynomialHash.java:19-28) is, with seed 1 and
+    arithmetic mod 2^64 (Java long wrap):
+        fw(i) = 5^k + sum_t code[i+t]   * 5^(k-1-t)
+        rc(i) = 5^k + sum_u (3^code[i+u]) * 5^u
+    5 is odd, hence invertible mod 2^64, so both are differences of prefix
+    sums: with P(j) = sum_{m<j} code[m]*inv5^m and Q(j) = sum_{m<j}
+    (3^code[m])*5^m,
+        fw(i) = 5^k + 5^(i+k-1) * (P(i+k) - P(i))
+        rc(i) = 5^k + inv5^i    * (Q(i+k) - Q(i))
+    One log-depth cumsum per direction instead of a k-step sequential loop;
+    int64 two's-complement wrap in XLA is bit-identical to mod-2^64.
+    Exactness vs the per-window oracle is pinned in tests/test_kmers.py.
+    """
+    B, L = codes.shape
+    cpad = jnp.where(codes < 0, 0, codes).astype(jnp.int64)
+    inv5 = pow(POLY_BASE, -1, 1 << 64)
+    pow5_np = np.empty(L + 1, np.uint64)
+    invp_np = np.empty(L + 1, np.uint64)
+    p = q = 1
+    for m in range(L + 1):
+        pow5_np[m], invp_np[m] = p, q
+        p = (p * POLY_BASE) & MASK64
+        q = (q * inv5) & MASK64
+    pow5 = jnp.asarray(pow5_np.view(np.int64))
+    invp = jnp.asarray(invp_np.view(np.int64))
+    comp = cpad ^ jnp.int64(3)
+    zero = jnp.zeros((B, 1), jnp.int64)
+    P = jnp.concatenate([zero, jnp.cumsum(cpad * invp[:L], axis=1)], axis=1)
+    Q = jnp.concatenate([zero, jnp.cumsum(comp * pow5[:L], axis=1)], axis=1)
+    p5k = _i64(pow(POLY_BASE, k, 1 << 64))
+    i = np.arange(L)                       # window starts (valid i <= L-k)
+    i_end = np.minimum(i + k, L)           # clipped: invalid windows masked below
+    fw = p5k + pow5[np.minimum(i + k - 1, L)] * (P[:, i_end] - P[:, i])
+    rc = p5k + invp[i] * (Q[:, i_end] - Q[:, i])
+    keys_start = jnp.minimum(fw, rc)
+    ok_end = _valid_window_mask(codes, k)
+    keys_end = jnp.roll(keys_start, k - 1, axis=1)
+    return jnp.where(ok_end, keys_end, SENTINEL), ok_end
+
+
 def _windowed_hash(codes: jax.Array, k: int, kind: str) -> tuple[jax.Array, jax.Array]:
     """O(k*B*L) per-window hash, vectorized over (B, L).
 
     For window start i: iterate t = 0..k-1, updating fw with code[i+t] and rc
     with 3^code[i+k-1-t], matching the Java loops character-for-character
     (src/utils/PolynomialHash.java:19-28, src/utils/FNV1AHash.java:33-42).
+    FNV-1a's xor-multiply chain has no sliding/prefix form, so only it pays
+    the O(k) loop; poly routes through the closed form above.
     """
+    if kind == "poly":
+        return _poly_windowed_hash(codes, k)
     B, L = codes.shape
     cpad = jnp.where(codes < 0, 0, codes).astype(jnp.int64)
     init = jnp.int64(1) if kind == "poly" else _i64(FNV_OFFSET_BASIS)

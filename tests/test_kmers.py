@@ -86,7 +86,7 @@ def test_exact_kmers_vs_oracle(k):
 
 
 @pytest.mark.parametrize("hasher", ["poly", "fnv1a"])
-@pytest.mark.parametrize("k", [5, 31, 41])
+@pytest.mark.parametrize("k", [5, 31, 41, 63])
 def test_hash_kmers_vs_oracle(hasher, k):
     rng = np.random.default_rng(k)
     seqs = [_random_seq(rng, int(rng.integers(k, 70)), with_n=True) for _ in range(8)]
