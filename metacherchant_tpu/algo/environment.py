@@ -163,29 +163,57 @@ def bfs_layered(seeds: np.ndarray, kmap: KmerMap, k: int, min_occ: int,
 def bfs_fifo(seed_list: list[int], kmap: KmerMap, k: int, min_occ: int,
              direction: int, max_radius: int | None, max_kmers: int | None,
              collect_last: bool = False) -> BfsResult:
-    """Exact sequential FIFO engine, used when MAX_KMERS is set (the admitted
-    set is then admission-order dependent: TerminationMode.java:38-39). Work is
-    bounded by the cap. Mirrors runBfs's queue order: seeds in sequence order,
-    neighbors in getNeighborsByDir order (src/algo/OneSequenceCalculator.java:198-239).
+    """Exact sequential FIFO engine -- the host default.
+
+    Mirrors runBfs's queue order: seeds in sequence order, neighbors in
+    getNeighborsByDir order (src/algo/OneSequenceCalculator.java:198-239), so
+    it is exact for the order-dependent MAX_KMERS cap
+    (TerminationMode.java:38-39) and for lastKmers collection (:209).
+
+    The inner loop is pure Python over a both-orientations count dict
+    (KmerMap.oriented_dict): gene environments are overwhelmingly DEEP and
+    NARROW (the wiki example runs 93k layers at frontier <= 31), where
+    per-layer vectorized ops cost more than scalar dict probes by ~10x
+    (see scripts/bench_bfs.py; the layered engine bfs_layered remains for
+    wide-frontier floods and as the device-engine test reference).
     """
     if not seed_list:
         return BfsResult(np.empty(0, np.int64), np.empty(0, np.int64), fail=True)
+    counts = kmap.oriented_dict(k)
+    get = counts.get
+    mask = (1 << (2 * k)) - 1
+    shift_hi = 2 * k - 2
     dist: dict[int, int] = {}
     queue: list[int] = []
     for s in seed_list:
+        s = int(s)
         if s not in dist:
             dist[s] = 0
-        queue.append(int(s))
+        queue.append(s)
     last: set[int] = set()
     head = 0
     while head < len(queue):
         cur = queue[head]
         head += 1
         dd = dist[cur] + 1
-        nbrs = neighbors_codes(np.array([cur], np.int64), k, direction)[0]
-        occs = kmap.get_many(canonical_codes(nbrs, k))
-        for nb, oc in zip(nbrs.tolist(), occs.tolist()):
-            if oc >= min_occ:
+        # neighbor codes inline, in StringUtils order (left n+kmer[:-1] for
+        # n in ACGT-code order; right kmer[1:]+n; dir 0 interleaved L0,R0,...)
+        if direction == -1:
+            sh = cur >> 2
+            nbrs = (sh, sh | (1 << shift_hi), sh | (2 << shift_hi),
+                    sh | (3 << shift_hi))
+        elif direction == 1:
+            sl = (cur << 2) & mask
+            nbrs = (sl, sl | 1, sl | 2, sl | 3)
+        else:
+            sh = cur >> 2
+            sl = (cur << 2) & mask
+            nbrs = (sh, sl, sh | (1 << shift_hi), sl | 1,
+                    sh | (2 << shift_hi), sl | 2,
+                    sh | (3 << shift_hi), sl | 3)
+        for nb in nbrs:
+            oc = get(nb)
+            if oc is not None and oc >= min_occ:
                 allowed = nb not in dist
                 if allowed and max_kmers is not None and len(dist) >= max_kmers:
                     allowed = False
@@ -279,10 +307,12 @@ def build_environment(sequences: list[str], k: int, kmap: KmerMap,
         from ..ops.hashtable import DeviceHashTable
         device_table = DeviceHashTable.from_kmer_map(kmap)
     for direction in dirs:
-        if max_kmers is not None:
+        if not use_device:
+            # reference-exact FIFO engine (fast scalar loop; exact admission
+            # order for MAX_KMERS and lastKmers)
             res = bfs_fifo(seeds, kmap, k, min_occ, direction,
                            max_radius, max_kmers, collect_last=trim)
-        elif use_device:
+        else:
             # whole-BFS single device dispatch (ops/bfs_device.py); exact for
             # radius-only termination, order-dependent modes stay on host
             from ..ops.bfs_device import run_device_bfs
@@ -294,9 +324,6 @@ def build_environment(sequences: list[str], k: int, kmap: KmerMap,
                 vis = run_device_bfs(sarr, device_table, k, min_occ,
                                      direction, max_radius)
                 res = BfsResult(vis, np.empty(0, np.int64))
-        else:
-            res = bfs_layered(np.array(seeds, np.int64), kmap, k, min_occ,
-                              direction, max_radius, collect_last=trim)
         if res.fail:
             continue
         fail = False

@@ -68,6 +68,26 @@ class KmerMap:
     def get(self, key: int) -> int:
         return int(self.get_many(np.array([key], np.int64))[0])
 
+    def oriented_dict(self, k: int) -> dict[int, int]:
+        """Both orientations of every (exact-regime) canonical key -> count.
+
+        Scalar-probe structure for the sequential FIFO BFS: one Python dict
+        hit replaces per-neighbor canonicalization + vectorized searchsorted
+        (which costs ~50us per 1-element call -- ruinous for the deep,
+        frontier-of-1 traversals typical of gene environments). Built once
+        per (map, k), cached. Exact regime only (hashed keys have no
+        orientation to expand)."""
+        cached = getattr(self, "_oriented", None)
+        if cached is None or self._oriented_k != k:
+            from .dna import revcomp_codes_np
+            d = dict(zip(self.keys.tolist(), self.counts.tolist()))
+            rc = revcomp_codes_np(self.keys, k)
+            d.update(zip(rc.tolist(), self.counts.tolist()))
+            self._oriented = d
+            self._oriented_k = k
+            cached = d
+        return cached
+
     def contains(self, query: np.ndarray) -> np.ndarray:
         return self.get_many(query) >= 0
 
