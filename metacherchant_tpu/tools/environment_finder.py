@@ -122,8 +122,11 @@ class EnvironmentFinderMain(Tool):
         if not self.do_merge.get(self):
             # one calculator per gene, task-parallel like the reference's
             # ExecutorService (src/tools/EnvironmentFinderMain.java:218-233);
-            # the shared kmap is read-only and the heavy numpy/device ops
-            # release the GIL
+            # the shared kmap is read-only. The scalar FIFO BFS holds the GIL
+            # (unlike numpy), but writers/IO and the oriented-dict build
+            # overlap, and per-gene BFS is ~100x faster than the vectorized
+            # engine on typical deep-narrow environments, so threads remain a
+            # net win for many-gene runs
             workers = max(1, min(self.available_processors.get(self),
                                  len(records)))
             if workers == 1:
