@@ -121,6 +121,14 @@ def build_environment_hashed(sequences: list[str], k: int, kmap: KmerMap,
             rows = run_device_bfs_hashed(np.stack(seed_rows), kmap, k,
                                          min_occ, hasher, direction, max_radius)
             union.update({row.tobytes(): row for row in rows})
+        elif hasher == "poly":
+            # scalar FIFO with O(1) sliding (fw, rc) hash updates -- 5 is odd,
+            # hence invertible mod 2^64, so both left and right extensions
+            # slide; ~50x faster than layer batching on deep-narrow
+            # environments (see BENCH_NOTES.md)
+            visited = _bfs_scalar_poly(seed_rows, kmap, k, min_occ,
+                                       direction, max_radius, max_kmers, trim)
+            union.update(visited)
         else:
             visited = _bfs_layer_fifo(seed_rows, kmap, k, min_occ, hasher,
                                       direction, max_radius, max_kmers, trim)
@@ -132,6 +140,94 @@ def build_environment_hashed(sequences: list[str], k: int, kmap: KmerMap,
     env = _HashedEnvironment(k, states, kmap, hasher)
     env.extend_count = _extend_count(states, env._norm_set, kmap, hasher, min_occ)
     return env
+
+
+def _bfs_scalar_poly(seed_rows: list[np.ndarray], kmap: KmerMap, k: int,
+                     min_occ: int, direction: int, max_radius: int | None,
+                     max_kmers: int | None, trim: bool
+                     ) -> dict[bytes, np.ndarray]:
+    """One runBfs pass, scalar FIFO, polynomial hash regime.
+
+    Queue entries carry (state bytes, fw, rc) where fw/rc are the unsigned
+    bit patterns of the Java hashes. With p = 5^k, q = 5^(k-1) (mod 2^64):
+        fw(s) = p + sum_t  s[t]      * 5^(k-1-t)
+        rc(s) = p + sum_u (3^s[u])   * 5^u
+    Right extension s[1:]+n:  fw' = 5*fw - 4p - s[0]*p + n
+                              rc' = (rc - p - (3^s[0]))*inv5 + (3^n)*q + p
+    Left extension  n+s[:-1]: fw' = (fw - p - s[-1])*inv5 + n*q + p
+                              rc' = (rc - p - (3^s[-1])*q)*5 + p + (3^n)
+    Key = signed min(fw', rc'); probe/admission/lastKmers semantics identical
+    to _bfs_layer_fifo (and the same FIFO order). Exactness vs the layer
+    engine is pinned in tests/test_env_hashed.py.
+    """
+    MASK = (1 << 64) - 1
+    inv5 = pow(5, -1, 1 << 64)
+    p = pow(5, k, 1 << 64)
+    q = pow(5, k - 1, 1 << 64)
+    counts = getattr(kmap, "_hash_dict", None)
+    if counts is None:
+        counts = dict(zip(kmap.keys.tolist(), kmap.counts.tolist()))
+        kmap._hash_dict = counts
+    get = counts.get
+    TWO63, TWO64 = 1 << 63, 1 << 64
+
+    dist: dict[bytes, int] = {}
+    queue: list[tuple[bytes, int, int]] = []
+    if seed_rows:
+        from ..ops.kmers import hash_codes_pair_np
+        smat = np.stack(seed_rows)
+        fw_a, rc_a = hash_codes_pair_np(smat, "poly")
+        for row, fw, rc in zip(seed_rows, fw_a.tolist(), rc_a.tolist()):
+            b = row.tobytes()
+            if b not in dist:
+                dist[b] = 0
+            queue.append((b, fw, rc))
+    last: set[bytes] = set()
+    head = 0
+    while head < len(queue):
+        s, fw, rc = queue[head]
+        head += 1
+        dd = dist[s] + 1
+        if direction != 1:
+            cl = s[-1]
+            bfL = ((fw - p - cl) * inv5) & MASK
+            brL = ((rc - p - (cl ^ 3) * q) * 5) & MASK
+            pre = s[:-1]
+            lefts = [(bytes((n,)) + pre, (bfL + n * q + p) & MASK,
+                      (brL + p + (n ^ 3)) & MASK) for n in range(4)]
+        if direction != -1:
+            c0 = s[0]
+            bfR = (5 * fw - 4 * p - c0 * p) & MASK
+            brR = ((rc - p - (c0 ^ 3)) * inv5) & MASK
+            suf = s[1:]
+            rights = [(suf + bytes((n,)), (bfR + n) & MASK,
+                       (brR + (n ^ 3) * q + p) & MASK) for n in range(4)]
+        if direction == -1:
+            nbrs = lefts
+        elif direction == 1:
+            nbrs = rights
+        else:  # interleaved L0,R0,L1,R1,... (StringUtils.allNeighbors:24-32)
+            nbrs = [x for pair in zip(lefts, rights) for x in pair]
+        for nb, nfw, nrc in nbrs:
+            sfw = nfw - TWO64 if nfw >= TWO63 else nfw
+            src = nrc - TWO64 if nrc >= TWO63 else nrc
+            oc = get(sfw if sfw < src else src)
+            if oc is not None and oc >= min_occ:
+                allowed = nb not in dist
+                if allowed and max_kmers is not None and len(dist) >= max_kmers:
+                    allowed = False
+                if allowed and max_radius is not None and dd > max_radius:
+                    allowed = False
+                if allowed:
+                    dist[nb] = dd
+                    queue.append((nb, nfw, nrc))
+                elif trim:
+                    last.add(s)
+    rows = {b: np.frombuffer(b, np.uint8) for b in dist}
+    if trim:
+        keep = _trim(rows, last, direction)
+        return {b: rows[b] for b in keep}
+    return rows
 
 
 def _bfs_layer_fifo(seed_rows: list[np.ndarray], kmap: KmerMap, k: int,

@@ -199,13 +199,14 @@ def _signed(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
-def hash_codes_np(codes: np.ndarray, hasher: str) -> np.ndarray:
-    """Vectorized canonical hash of (N, k) nucleotide-code rows (host, numpy).
+def hash_codes_pair_np(codes: np.ndarray, hasher: str
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Pre-min (fw, rc) hash pair of (N, k) code rows as uint64 bit patterns.
 
-    Exact Java long semantics via uint64 wraparound; per-row result equals
-    hash_str of the row's string (src/utils/PolynomialHash.java:19-28,
-    src/utils/FNV1AHash.java:33-42: fused fw/rc loops, key = signed min).
-    """
+    Exact Java long semantics via uint64 wraparound (fused fw/rc loops,
+    src/utils/PolynomialHash.java:19-28, src/utils/FNV1AHash.java:33-42).
+    Exposed separately so the scalar sliding-hash BFS can seed its per-state
+    (fw, rc) registers."""
     codes = np.asarray(codes, np.uint64)
     n, k = codes.shape
     if hasher == "poly":
@@ -229,6 +230,15 @@ def hash_codes_np(codes: np.ndarray, hasher: str) -> np.ndarray:
             else:
                 fw = (fw ^ cf) * prime
                 rc = (rc ^ cr) * prime
+    return fw, rc
+
+
+def hash_codes_np(codes: np.ndarray, hasher: str) -> np.ndarray:
+    """Vectorized canonical hash of (N, k) nucleotide-code rows (host, numpy).
+
+    Per-row result equals hash_str of the row's string: key = signed
+    min(fw, rc) (src/utils/AbstractHashFunction.java + the hash classes)."""
+    fw, rc = hash_codes_pair_np(codes, hasher)
     return np.minimum(fw.view(np.int64), rc.view(np.int64))
 
 

@@ -177,3 +177,31 @@ def test_hashed_extend_count_matches_oracle():
         if outside == 1:
             n += 1
     assert env.extend_count == n
+
+
+def test_scalar_poly_engine_equals_layer_engine():
+    """_bfs_scalar_poly (O(1) sliding-hash FIFO) visits exactly the states of
+    _bfs_layer_fifo across directions and termination modes."""
+    import numpy as np
+    from metacherchant_tpu.kmer_map import KmerMap
+    from metacherchant_tpu.ops.kmers import hash_codes_np
+    from metacherchant_tpu.dna import encode
+    from metacherchant_tpu.algo import environment_hashed as EH
+
+    rng = np.random.default_rng(17)
+    k = 37
+    genome = "".join(np.array(list("AGCT"))[rng.integers(0, 4, 4000)])
+    wins = np.array([[int(c) for c in encode(genome[i:i + k])]
+                     for i in range(len(genome) - k + 1)], np.int8)
+    kmap = KmerMap.from_pairs(hash_codes_np(wins, "poly"),
+                              np.full(wins.shape[0], 3, np.int64))
+    codes = encode(genome[2000:2100])
+    swins = np.lib.stride_tricks.sliding_window_view(codes, k).astype(np.uint8)
+    seeds = list(swins[EH._occ_block(kmap, swins, "poly") >= 3])
+    for direction in (-1, 1, 0):
+        for mr, mk, trim in ((None, None, False), (25, None, True),
+                             (None, 200, False)):
+            a = EH._bfs_scalar_poly(seeds, kmap, k, 3, direction, mr, mk, trim)
+            b = EH._bfs_layer_fifo(seeds, kmap, k, 3, "poly", direction, mr,
+                                   mk, trim)
+            assert set(a.keys()) == set(b.keys())
