@@ -17,10 +17,11 @@ fused sort graphs (BENCH_NOTES.md "rig pathologies" #3), and an in-process
 SIGALRM cannot interrupt a native compile RPC -- a kill -9 from the parent
 can. Phase ladder (first phase to emit a JSON line wins):
   1. primary, default geometry (buffer 2^22 keys, store 2^21 distinct)
-  2. primary, small geometry (buffer 2^20, store 2^20: ~3x fewer sort lanes,
-     compiles far faster cold; steady-state per-key cost is close)
-  3. extract+dedup chain (1M-lane kernels, compiles in ~1 min)
-  4. extraction-only chain
+  2. primary, small geometry (2^20/2^20: ~3x fewer sort lanes)
+  3. primary, tiny geometry (2^19/2^19, batch 2048: 1M-lane sorts, the scale
+     this rig's compile service demonstrably handles in ~2 min cold)
+  4. extract+dedup chain (1M-lane kernels, compiles in ~2 min)
+  5. extraction-only chain
 All phases are DCE-proofed (full-tensor folds / final consolidation + a tiny
 cross-backend probe feed the timed chain).
 
@@ -38,12 +39,20 @@ import time
 EST_JAVA_RATE = 4.0e7  # est. reference JVM k-mers/s (see module docstring)
 
 K = 31
-BATCH = int(os.environ.get("MC_BENCH_BATCH", "4096"))
 LEN = 256
-KEYS_PER_STEP = BATCH * (LEN - K + 1)
 GENOME = int(os.environ.get("MC_BENCH_GENOME", "1500000"))
 M_SMALL = int(os.environ.get("MC_BENCH_MSMALL", "16"))
 M_BIG = int(os.environ.get("MC_BENCH_MBIG", "48"))
+
+# geometry ladder: (batch, buf_log2, store_log2, genome_cap). Each batch
+# appends batch*(LEN-K+1) keys, which must fit the append buffer.
+GEOMETRY = {
+    "default": (4096, 22, 21, None),    # 925696 keys/step, 6M-lane sorts
+    "small":   (4096, 20, 20, 600000),  # 925696 keys/step, 2M-lane sorts
+    "tiny":    (2048, 19, 19, 400000),  # 462848 keys/step, 1M-lane sorts --
+                                        # the scale this rig's remote compile
+                                        # service handles in ~2 min cold
+}
 
 
 def log(msg: str) -> None:
@@ -58,8 +67,9 @@ def parent() -> int:
     me = os.path.abspath(__file__)
     plan = [
         (["--phase", "primary"],
-         int(os.environ.get("MC_BENCH_BUDGET", "420"))),
-        (["--phase", "primary", "--small"], 420),
+         int(os.environ.get("MC_BENCH_BUDGET", "300"))),
+        (["--phase", "primary", "--geom", "small"], 480),
+        (["--phase", "primary", "--geom", "tiny"], 420),
         (["--phase", "dedup"], 300),
         (["--phase", "extract"], 240),
     ]
@@ -103,7 +113,7 @@ def _emit(metric: str, rate: float) -> None:
     sys.stdout.flush()
 
 
-def phase_main(which: str, small: bool) -> None:
+def phase_main(which: str, geom: str) -> None:
     # JAX_COMPILATION_CACHE_DIR is ignored under the tunneled-TPU plugin; the
     # package init applies MC_JAX_CACHE through jax.config.update, which works.
     os.environ.setdefault(
@@ -118,9 +128,12 @@ def phase_main(which: str, small: bool) -> None:
     from metacherchant_tpu.ops.hashtable import _batch_unique_impl
     from metacherchant_tpu.ops.sortcount import StreamCounter
 
-    buf_log2 = int(os.environ.get("MC_BENCH_BUF", "20" if small else "22"))
-    store_log2 = int(os.environ.get("MC_BENCH_STORE", "20" if small else "21"))
-    genome = GENOME if not small else min(GENOME, 600000)
+    g_batch, g_buf, g_store, g_cap = GEOMETRY[geom]
+    batch = int(os.environ.get("MC_BENCH_BATCH", str(g_batch)))
+    keys_per_step = batch * (LEN - K + 1)
+    buf_log2 = int(os.environ.get("MC_BENCH_BUF", str(g_buf)))
+    store_log2 = int(os.environ.get("MC_BENCH_STORE", str(g_store)))
+    genome = GENOME if g_cap is None else min(GENOME, g_cap)
 
     probe_fn = jax.jit(
         lambda b: (b.ravel()[123] ^ b.ravel()[456]).astype(jnp.int32))
@@ -134,13 +147,13 @@ def phase_main(which: str, small: bool) -> None:
         g = rng.integers(0, 4, size=genome).astype(np.int8)
         window = np.arange(LEN)
         return [
-            jnp.asarray(g[rng.integers(0, g.size - LEN, size=BATCH)[:, None]
+            jnp.asarray(g[rng.integers(0, g.size - LEN, size=batch)[:, None]
                           + window[None, :]].astype(np.int32))
             for _ in range(n)
         ]
 
     batches = make_batches(M_BIG)
-    log(f"{len(batches)} batches on device ({KEYS_PER_STEP} keys/step, "
+    log(f"{len(batches)} batches on device ({keys_per_step} keys/step, "
         f"buf 2^{buf_log2}, store 2^{store_log2})")
 
     if which == "primary":
@@ -165,11 +178,11 @@ def phase_main(which: str, small: bool) -> None:
             # difference in the noise (steps too cheap vs fixed probe cost):
             # report the conservative absolute rate of the big chain instead
             log(f"difference {diff:.3f}s in noise; using absolute rate")
-            _emit("kmer_count_throughput", M_BIG * KEYS_PER_STEP / t_big)
+            _emit("kmer_count_throughput", M_BIG * keys_per_step / t_big)
             return
         per_step = diff / (M_BIG - M_SMALL)
         log(f"count per-step {per_step * 1000:.1f}ms")
-        _emit("kmer_count_throughput", KEYS_PER_STEP / per_step)
+        _emit("kmer_count_throughput", keys_per_step / per_step)
         return
 
     def _fold(x, width=128):
@@ -205,13 +218,15 @@ def phase_main(which: str, small: bool) -> None:
     t_big = chain(M_BIG)
     per_step = max(t_big - t_small, 1e-9) / (M_BIG - M_SMALL)
     log(f"{which} per-step {per_step * 1000:.1f}ms")
-    _emit(f"kmer_{which}_throughput", KEYS_PER_STEP / per_step)
+    _emit(f"kmer_{which}_throughput", keys_per_step / per_step)
 
 
 def main() -> int:
     if "--phase" in sys.argv:
         which = sys.argv[sys.argv.index("--phase") + 1]
-        phase_main(which, "--small" in sys.argv)
+        geom = (sys.argv[sys.argv.index("--geom") + 1]
+                if "--geom" in sys.argv else "default")
+        phase_main(which, geom)
         return 0
     return parent()
 
