@@ -73,7 +73,9 @@ def _insert_unique_impl(tkeys, tcnts, bkeys, bcnts):
     result is content-deterministic. This avoids the O(capacity) per-round
     temporary a scatter-min election would need.
 
-    Returns (tkeys, tcnts, n_inserted_new:int32, overflowed:bool) -- all device.
+    Returns (tkeys, tcnts, n_inserted_new:int32, residual:bool[batch]) -- all
+    device. `residual` marks lanes whose key did NOT land (table full or probe
+    bound hit); callers either assert none (jnp.any) or retain those lanes.
     """
     C = tkeys.shape[0]
     cmask = jnp.uint64(C - 1)
@@ -103,7 +105,7 @@ def _insert_unique_impl(tkeys, tcnts, bkeys, bcnts):
 
     tkeys, tcnts, active, _, _, new = jax.lax.while_loop(
         cond, body, (tkeys, tcnts, active0, slot0, jnp.int32(0), jnp.int32(0)))
-    return tkeys, tcnts, new, jnp.any(active)
+    return tkeys, tcnts, new, active
 
 
 _insert_unique_kernel = jax.jit(_insert_unique_impl, donate_argnums=(0, 1))
@@ -200,9 +202,9 @@ class DeviceHashTable:
         bc = np.zeros(pad, np.int32)
         bk[: len(kmap)] = kmap.keys
         bc[: len(kmap)] = kmap.counts
-        table.tkeys, table.tcnts, new, ovf = _insert_unique_kernel(
+        table.tkeys, table.tcnts, new, resid = _insert_unique_kernel(
             table.tkeys, table.tcnts, jnp.asarray(bk), jnp.asarray(bc))
-        assert not bool(ovf)
+        assert not bool(jnp.any(resid))
         table._size_dev = new.astype(jnp.int32)
         table._size_confirmed = len(kmap)
         return table
@@ -235,34 +237,34 @@ class DeviceHashTable:
         self.capacity *= 2
         self.tkeys = jnp.full((self.capacity,), EMPTY, jnp.int64)
         self.tcnts = jnp.zeros((self.capacity,), jnp.int32)
-        self.tkeys, self.tcnts, new, ovf = _insert_unique_kernel(
+        self.tkeys, self.tcnts, new, resid = _insert_unique_kernel(
             self.tkeys, self.tcnts, old_keys, old_cnts)
         self._size_dev = new.astype(jnp.int32)
         self._size_confirmed = int(new)
         self._pending_bound = 0
-        assert not bool(ovf)
+        assert not bool(jnp.any(resid))
 
     # -- hot path -----------------------------------------------------------
     def count_insert_codes(self, codes: jax.Array, k: int, hasher: str | None) -> None:
         """Fused: extract canonical k-mers of a (B, L) code batch and count them."""
         bound = codes.shape[0] * codes.shape[1]
         self._ensure_room(bound)
-        self.tkeys, self.tcnts, new, ovf = _count_insert_kernel(
+        self.tkeys, self.tcnts, new, resid = _count_insert_kernel(
             self.tkeys, self.tcnts, codes, k, hasher)
         self._size_dev = self._size_dev + new
         self._pending_bound += bound
-        self._overflow_flags.append(ovf)
+        self._overflow_flags.append(jnp.any(resid))
 
     def insert_batch(self, keys: jax.Array) -> None:
         """Count-insert a (possibly duplicated, SENTINEL-padded) key batch."""
         flat = keys.ravel()
         self._ensure_room(flat.shape[0])
         ukeys, ucnts = _batch_unique_counts(flat)
-        self.tkeys, self.tcnts, new, ovf = _insert_unique_kernel(
+        self.tkeys, self.tcnts, new, resid = _insert_unique_kernel(
             self.tkeys, self.tcnts, ukeys, ucnts)
         self._size_dev = self._size_dev + new
         self._pending_bound += flat.shape[0]
-        self._overflow_flags.append(ovf)
+        self._overflow_flags.append(jnp.any(resid))
 
     def lookup(self, keys: jax.Array) -> jax.Array:
         """Counts for keys; absent/SENTINEL -> -1. Counts clamp at 32767."""

@@ -35,6 +35,7 @@ from jax import shard_map
 
 from ..ops.kmers import canonical_kmers, SENTINEL
 from ..ops.hashtable import _mix64, _insert_unique_impl, _batch_unique_impl
+from ..ops.sortcount import _rle_sorted
 
 
 def make_mesh(devices=None, axis: str = "d") -> Mesh:
@@ -97,19 +98,57 @@ def make_sharded_count_step(mesh: Mesh, k: int, hasher: str | None,
         rc = jax.lax.all_to_all(bc, axis, split_axis=0, concat_axis=0,
                                 tiled=True)
         ruk, ruc = _weighted_unique(rk.ravel(), rc.ravel())
-        tkeys, tcnts, _, _ = _insert_unique_impl(tkeys, tcnts, ruk, ruc)
-        # compact overflow carry to a fixed small buffer
-        ovk2, ovc2 = _weighted_unique(ovk, ovc)
+        tkeys, tcnts, new, resid = _insert_unique_impl(
+            tkeys, tcnts, ruk, ruc)
+        # keys that failed to land (shard full / probe bound) are RETAINED:
+        # merged into the overflow carry and re-sent after the host grows the
+        # table -- the count multiset is never silently truncated
+        resid_k = jnp.where(resid, ruk, SENTINEL)
+        resid_c = jnp.where(resid, ruc, 0)
+        table_ovf = jnp.any(resid)
+        # compact overflow carry (+ residuals) to a fixed small buffer
         m = ov_keys.shape[0]
-        return (tkeys[None], tcnts[None], ovk2[:m][None], ovc2[:m][None])
+        all_ovk = jnp.concatenate([ovk, resid_k])
+        all_ovc = jnp.concatenate([ovc, resid_c])
+        ovk2, ovc2, n_ov = _rle_sorted(
+            all_ovk, jnp.where(all_ovk == SENTINEL, 0, all_ovc), m)
+        carry_ovf = n_ov > m  # distinct carry exceeded the buffer: data loss
+        return (tkeys[None], tcnts[None], ovk2[None], ovc2[None],
+                new[None], table_ovf[None], carry_ovf[None])
 
     spec = P(axis)
     return jax.jit(shard_map(
         local_step, mesh=mesh,
         in_specs=(spec, spec, spec, spec, P(axis, None)),
-        out_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, spec, spec, spec, spec, spec),
         check_vma=False,
     ), donate_argnums=(0, 1, 2, 3))
+
+
+def make_grow_step(mesh: Mesh):
+    """Returns grow(tkeys, tcnts) -> (tkeys2x, tcnts2x, sizes).
+
+    Doubles every shard's capacity and re-inserts its live entries locally
+    (the owner assignment mix64(key) % n is capacity-independent, so entries
+    never change shards). Counterpart of the Java map's per-stripe doubling
+    (itmo:structures/map/Long2ShortHashMap.java:191-214) for the sharded table.
+    """
+    axis = mesh.axis_names[0]
+
+    def local_grow(tkeys, tcnts):
+        tkeys, tcnts = tkeys[0], tcnts[0]
+        C = tkeys.shape[0]
+        nk = jnp.full((2 * C,), SENTINEL, jnp.int64)
+        nc = jnp.zeros((2 * C,), jnp.int32)
+        nk, nc, new, ovf = _insert_unique_impl(nk, nc, tkeys, tcnts)
+        return nk[None], nc[None], new[None]
+
+    spec = P(axis)
+    return jax.jit(shard_map(
+        local_grow, mesh=mesh,
+        in_specs=(spec, spec), out_specs=(spec, spec, spec),
+        check_vma=False,
+    ))
 
 
 def _weighted_unique(keys: jax.Array, counts: jax.Array):
@@ -122,41 +161,110 @@ def _weighted_unique(keys: jax.Array, counts: jax.Array):
 
 
 class ShardedCounter:
-    """Multi-device streaming counter facade."""
+    """Multi-device streaming counter facade.
+
+    Overflow discipline (no key is ever silently lost):
+    - shard-table overflow: residual keys are retained in the per-device carry
+      buffer; the host grows all shards (x2, shard-local re-insert) and the
+      carry re-sends them. Growth is triggered proactively by a sound host
+      bound (confirmed max shard size + keys appended since the last sync) and
+      reactively by the per-step table_ovf flag.
+    - carry-buffer overflow (distinct carried keys exceed the fixed buffer,
+      possible only under adversarial bucket skew): detected by the per-step
+      carry_ovf flag -> hard RuntimeError at the next sync. Counterpart of the
+      reference's lock-protected stripe growth
+      (itmo:structures/map/Long2ShortHashMap.java:191-214).
+    """
 
     def __init__(self, mesh: Mesh, k: int, hasher: str | None = None,
                  capacity_log2_per_shard: int = 16, batch: int = 1024,
-                 max_len: int = 256, overflow_buf: int = 4096):
+                 max_len: int = 256, overflow_buf: int = 4096,
+                 max_load: float = 0.65):
         self.mesh = mesh
         self.k = k
         self.hasher = hasher
         self.n = mesh.devices.size
         self.batch = batch
         self.max_len = max_len
-        cap = 1 << capacity_log2_per_shard
+        self.max_load = max_load
+        self.shard_cap = 1 << capacity_log2_per_shard
         axis = mesh.axis_names[0]
         self.sharding = jax.NamedSharding(mesh, P(axis))
         self.batch_sharding = jax.NamedSharding(mesh, P(axis, None))
         self.tkeys = jax.device_put(
-            jnp.full((self.n, cap), SENTINEL, jnp.int64), self.sharding)
+            jnp.full((self.n, self.shard_cap), SENTINEL, jnp.int64),
+            self.sharding)
         self.tcnts = jax.device_put(
-            jnp.zeros((self.n, cap), jnp.int32), self.sharding)
+            jnp.zeros((self.n, self.shard_cap), jnp.int32), self.sharding)
         self.ov_keys = jax.device_put(
             jnp.full((self.n, overflow_buf), SENTINEL, jnp.int64), self.sharding)
         self.ov_cnts = jax.device_put(
             jnp.zeros((self.n, overflow_buf), jnp.int32), self.sharding)
         self.step = make_sharded_count_step(mesh, k, hasher)
+        self.grow_step = make_grow_step(mesh)
+        # per-shard inserted-count accumulator (device, sharded) + host bound
+        self._sizes_dev = jax.device_put(
+            jnp.zeros((self.n,), jnp.int32), self.sharding)
+        self._max_confirmed = 0   # max shard size at last sync
+        self._pending = 0         # upper bound on keys appended since sync
+        self._table_flags: list[jax.Array] = []
+        self._carry_flags: list[jax.Array] = []
+
+    def _sync(self) -> None:
+        """Read back per-shard sizes + flags; grow/raise as needed."""
+        sizes = np.asarray(self._sizes_dev)
+        self._max_confirmed = int(sizes.max()) if sizes.size else 0
+        self._pending = 0
+        table_ovf = any(bool(jnp.any(f)) for f in self._table_flags)
+        carry_ovf = any(bool(jnp.any(f)) for f in self._carry_flags)
+        self._table_flags.clear()
+        self._carry_flags.clear()
+        if carry_ovf:
+            raise RuntimeError(
+                "sharded counter: overflow-carry buffer exceeded "
+                "(adversarial bucket skew); raise overflow_buf")
+        if table_ovf:
+            self._grow()
+
+    def _grow(self) -> None:
+        self.tkeys, self.tcnts, sizes = self.grow_step(self.tkeys, self.tcnts)
+        self.shard_cap *= 2
+        self._sizes_dev = sizes
+        s = np.asarray(sizes)
+        self._max_confirmed = int(s.max()) if s.size else 0
+        self._pending = 0
+
+    def _ensure_room(self, incoming: int) -> None:
+        if (self._max_confirmed + self._pending + incoming
+                <= self.shard_cap * self.max_load):
+            return
+        self._sync()
+        while (self._max_confirmed + incoming
+               > self.shard_cap * self.max_load):
+            self._grow()
 
     def add_codes(self, codes: np.ndarray) -> None:
         """codes: (B, L) int32 with B divisible by n."""
+        # sound per-shard growth bound: a shard inserts at most the lanes it
+        # receives from the all_to_all = n * bucket_cap (mirrors local_step)
+        B, L = int(codes.shape[0]), int(codes.shape[1])
+        flat = (B // self.n) * L + self.ov_keys.shape[1]
+        incoming = self.n * (-(-flat // self.n) * 2)  # slack=2 default
+        self._ensure_room(incoming)
         dev = jax.device_put(jnp.asarray(codes), self.batch_sharding)
-        self.tkeys, self.tcnts, self.ov_keys, self.ov_cnts = self.step(
+        (self.tkeys, self.tcnts, self.ov_keys, self.ov_cnts,
+         new, tf, cf) = self.step(
             self.tkeys, self.tcnts, self.ov_keys, self.ov_cnts, dev)
+        self._sizes_dev = self._sizes_dev + new
+        self._pending += incoming
+        self._table_flags.append(tf)
+        self._carry_flags.append(cf)
 
     def drain(self) -> None:
         """Flush any overflow carry with empty batches until clean."""
         empty = np.full((self.n, self.max_len), -1, np.int32)
         for _ in range(64):
+            self._sync()  # grows if any residuals were flagged
             if not bool(jnp.any(self.ov_keys != SENTINEL)):
                 return
             self.add_codes(empty)

@@ -1,81 +1,104 @@
-"""Microbench: XLA sort cost on this chip: sizes x operand counts.
-Also: random-gather cost per size, for the record."""
+"""Measure device sort/scan primitive costs (difference method, DCE-proofed).
+
+Grounds the sort-engine cost model: two-operand sort cost per lane at several
+sizes, associative-scan cost, and the cross-backend probe latency.
+Run on the real chip: python scripts/profile_sort.py [lanes_log2 ...]
+"""
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "MC_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
 
 import numpy as np
 import metacherchant_tpu  # noqa: F401
 import jax
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
 import jax.numpy as jnp
 
 
 def log(m):
-    print(f"[{time.strftime('%H:%M:%S')}] {m}", file=sys.stderr, flush=True)
+    print(m, file=sys.stderr, flush=True)
+
+
+probe_fn = jax.jit(lambda b: (b.ravel()[123] ^ b.ravel()[45]).astype(jnp.int32))
 
 
 def probe(x):
     cpu = jax.devices("cpu")[0]
-    return np.asarray(jax.device_put(x, cpu))
+    return int(np.asarray(jax.device_put(probe_fn(x), cpu)))
 
 
-@jax.jit
-def sort1(x):
-    s = jnp.sort(x)
-    return s[0] ^ s[-1] ^ s[x.shape[0] // 2]
+def time_chain(step, x0, m_small=4, m_big=16):
+    def chain(m):
+        x = x0
+        t0 = time.perf_counter()
+        for i in range(m):
+            x = step(x, i)
+        v = probe(x[0] if isinstance(x, tuple) else x)
+        return time.perf_counter() - t0, v
 
-
-@jax.jit
-def sort2(x, w):
-    s, v = jax.lax.sort((x, w), num_keys=1)
-    return s[0] ^ s[-1] ^ v[x.shape[0] // 2]
-
-
-@jax.jit
-def gath(x, idx):
-    g = x[idx]
-    n = (g.shape[0] // 128) * 128
-    return g[:n].reshape(-1, 128).sum(0)[0] + g[n:].sum()
-
-
-def chain(name, fn, make_args, reps=8):
-    args = [make_args(i) for i in range(reps + 1)]
-    t0 = time.perf_counter()
-    r = fn(*args[0])
-    probe(r)
-    log(f"  {name} compile+1: {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    acc = None
-    for i in range(1, reps + 1):
-        acc = fn(*args[i])
-    probe(acc)
-    dt = (time.perf_counter() - t0) / reps
-    log(f"{name}: {dt * 1000:.1f} ms")
+    chain(2)  # warm
+    ts, _ = chain(m_small)
+    tb, v = chain(m_big)
+    per = (tb - ts) / (m_big - m_small)
+    return per, v
 
 
 def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [20, 21, 22, 23]
     rng = np.random.default_rng(0)
-    log(f"device={jax.devices()[0].platform}")
-    for log2 in (20, 22, 24):
-        n = 1 << log2
-        mk = lambda i: (jnp.asarray(
-            rng.integers(0, 1 << 62, size=n).astype(np.int64)),)
-        chain(f"sort1 2^{log2}", sort1, mk)
-        mk2 = lambda i: (jnp.asarray(
-            rng.integers(0, 1 << 62, size=n).astype(np.int64)),
-            jnp.asarray(rng.integers(0, 1 << 30, size=n).astype(np.int64)))
-        chain(f"sort2 2^{log2}", sort2, mk2)
-    # random gather 1M from 2^24
-    src = jnp.asarray(rng.integers(0, 1 << 62, size=1 << 24).astype(np.int64))
-    mkg = lambda i: (src, jnp.asarray(
-        rng.integers(0, 1 << 24, size=1 << 20).astype(np.int32)))
-    chain("gather 1M<-16M", gath, mkg)
+
+    # probe latency
+    z = jnp.zeros((128,), jnp.int64)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        probe(z)
+    log(f"probe latency ~{(time.perf_counter() - t0) / 3 * 1000:.1f} ms")
+
+    for lg in sizes:
+        n = 1 << lg
+        keys = jnp.asarray(rng.integers(0, 1 << 62, size=n, dtype=np.int64))
+        vals = jnp.asarray(rng.integers(0, 1000, size=n, dtype=np.int32))
+
+        @jax.jit
+        def sort2(state, i):
+            k, v = state
+            k2, v2 = jax.lax.sort((k ^ i, v), num_keys=1)
+            return (k2, v2)
+
+        per, _ = time_chain(lambda st, i: sort2(st, i), (keys, vals))
+        log(f"two-op sort  2^{lg} ({n / 1e6:.1f}M lanes): "
+            f"{per * 1000:7.1f} ms  ({per / n * 1e9:5.2f} ns/lane)")
+
+        @jax.jit
+        def sort1(k, i):
+            return jax.lax.sort(k ^ i)
+
+        per, _ = time_chain(lambda k, i: sort1(k, i), keys)
+        log(f"one-op sort  2^{lg}: {per * 1000:7.1f} ms  "
+            f"({per / n * 1e9:5.2f} ns/lane)")
+
+        @jax.jit
+        def segscan(state, i):
+            k, v = state
+
+            def seg_add(a, b):
+                af, asum = a
+                bf, bsum = b
+                return af | bf, jnp.where(bf, bsum, asum + bsum)
+
+            first = jnp.concatenate([jnp.ones((1,), bool), k[1:] != k[:-1]])
+            _, rs = jax.lax.associative_scan(
+                seg_add, (first, (v + i).astype(jnp.int64)))
+            return (k, rs.astype(jnp.int32))
+
+        per, _ = time_chain(lambda st, i: segscan(st, i), (keys, vals))
+        log(f"seg-scan     2^{lg}: {per * 1000:7.1f} ms  "
+            f"({per / n * 1e9:5.2f} ns/lane)")
+    print("{}")
 
 
 if __name__ == "__main__":

@@ -71,6 +71,47 @@ def test_sharded_overflow_carry(mesh):
     assert np.array_equal(cnts, ref.counts)
 
 
+def test_sharded_table_growth_exact(mesh):
+    """Overfill every shard's table (tiny per-shard capacity): shards must
+    GROW (never silently drop keys as in round 1, where the residual flag of
+    _insert_unique_impl was discarded at sharded_count.py:100). Counts must
+    match the host oracle exactly."""
+    rng = np.random.default_rng(3)
+    # ~3.4k distinct 21-mers vs 8 shards x 2^6 slots x 0.65 load = 333 slots:
+    # forces multiple doublings
+    seqs = ["".join(rng.choice(list("ACGT"), size=120)) for _ in range(32)]
+    k = 21
+    sc = ShardedCounter(mesh, k, None, capacity_log2_per_shard=6,
+                        batch=8, max_len=128)
+    cap0 = sc.shard_cap
+    for i in range(0, 32, 8):
+        sc.add_codes(_pack(seqs[i:i + 8], 8, 128))
+    keys, cnts = sc.items_host()
+    assert sc.shard_cap > cap0  # growth actually happened
+    ref = count_sequences_host(seqs, k)
+    assert np.array_equal(keys, ref.keys)
+    assert np.array_equal(cnts, ref.counts)
+
+
+def test_sharded_residual_requeue(mesh):
+    """Even when the proactive bound is defeated (forced tiny max_load so the
+    table fills mid-step), residual keys must be retained in the carry and land
+    after growth -- the count multiset is never truncated."""
+    rng = np.random.default_rng(4)
+    seqs = ["".join(rng.choice(list("ACGT"), size=120)) for _ in range(16)]
+    k = 17
+    sc = ShardedCounter(mesh, k, None, capacity_log2_per_shard=5,
+                        batch=8, max_len=128)
+    # defeat the proactive guard: pretend there is always room
+    sc._ensure_room = lambda incoming: None
+    for i in range(0, 16, 8):
+        sc.add_codes(_pack(seqs[i:i + 8], 8, 128))
+    keys, cnts = sc.items_host()  # drain() syncs -> grows -> re-sends
+    ref = count_sequences_host(seqs, k)
+    assert np.array_equal(keys, ref.keys)
+    assert np.array_equal(cnts, ref.counts)
+
+
 def test_graft_entry_single_chip():
     import sys
     sys.path.insert(0, "/root/repo")
