@@ -86,7 +86,8 @@ def aggregate_contact_map(records, out_path: str) -> None:
 
 def run_hic_pipeline(reads: list[str], seq: str, work_dir: str,
                      hic_r1: str, hic_r2: str, k: int = 31, coverage: int = 5,
-                     max_radius: int = 100000, threads: int = 12) -> None:
+                     max_radius: int = 100000, threads: int = 12,
+                     first_pass_only: bool = False) -> None:
     wd = work_dir.rstrip("/") + "/"
     os.makedirs(wd + "1", exist_ok=True)
     os.makedirs(wd + "2", exist_ok=True)
@@ -96,6 +97,9 @@ def run_hic_pipeline(reads: list[str], seq: str, work_dir: str,
     if rc != 0:
         raise ExecutionFailedException("pass-1 environment-finder failed")
     seqs1 = wd + "output/1/merged/seqs.fasta"
+
+    if first_pass_only:
+        return
 
     if not have_external_tools():
         raise ExecutionFailedException(

@@ -209,6 +209,38 @@ def write_fastq(path: str, records: Iterable[tuple[str, str, np.ndarray]],
             out.write(f"@{name}\n{seq}\n+\n{q}\n")
 
 
+class FastqWriter:
+    """Incremental fastq writer for streaming classification.
+
+    Same record format as write_fastq (Illumina Phred+64 default,
+    itmo:io/writers/WritersUtils.java:50-80) with reads renamed to 1-based
+    sequence numbers per output file (itmo:io/writers/DataCounter.java:22-24).
+    Lets the classifier family route reads bin-by-bin in O(batch) memory
+    instead of materializing whole read files (the reference streams pairs,
+    itmo:io/sources/PairSource.java:22-57).
+    """
+
+    def __init__(self, path: str, quality: str = "illumina"):
+        _ensure_dir(path)
+        self._offset = 64 if quality == "illumina" else 33
+        self._f = open(path, "w")
+        self._n = 0
+
+    def write(self, dnaq) -> None:
+        self._n += 1
+        q = "".join(chr(min(int(p), 62) + self._offset) for p in dnaq.phred)
+        self._f.write(f"@{self._n}\n{dnaq.to_string()}\n+\n{q}\n")
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def write_fasta(path: str, records: Iterable[tuple[str, str]]) -> None:
     _ensure_dir(path)
     with open(path, "w") as out:

@@ -26,6 +26,7 @@ _TOOL_MODULES = {
     "fmt-visualiser": ("fmt_visualiser", "FMTVisualiser"),
     "fmt-visualizer": ("fmt_visualizer", "FMTVisualizer"),
     "recipient-visualiser": ("recipient_visualiser", "RecipientVisualiser"),
+    "hic-pipeline": ("hic_pipeline", "HiCPipeline"),
 }
 
 

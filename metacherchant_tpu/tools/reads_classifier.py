@@ -14,11 +14,17 @@ import numpy as np
 from ..tool import Tool, Parameter, ExecutionFailedException
 from ..kmer_map import KmerMap
 from ..counting import count_kmers_device, count_kmers_host
-from ..io.readers import iter_dnaq, DnaQ
-from ..io.writers import read_kmers_bin, write_fastq
+from ..io.readers import iter_dnaq_pair_batches
+from ..io.writers import read_kmers_bin, FastqWriter
 from ..algo.classify import ReadBatch, find_reads, FoundStats
 
 CLASSIFY_BATCH = 8192
+
+
+def check_reads_files(files: list[str]) -> None:
+    for f in files:
+        if not os.path.exists(f):
+            raise ExecutionFailedException(f"Could not load reads from {f}")
 
 
 def load_classifier_graph(tool: Tool, input_files: list[str], k: int,
@@ -47,19 +53,6 @@ def load_classifier_graph(tool: Tool, input_files: list[str], k: int,
         kmap = counter(input_files, k, hasher)
     tool.info("Hashtable size: %d kmers", len(kmap))
     return kmap, hasher
-
-
-def read_dnaq_list(path: str) -> list[DnaQ]:
-    if not os.path.exists(path):
-        raise ExecutionFailedException(f"Could not load reads from {path}")
-    return list(iter_dnaq(path))
-
-
-def dnaq_fastq_records(dnaqs):
-    """Reads are renamed to 1-based sequence numbers, matching the reference
-    writer's DataCounter comments (itmo:io/writers/DataCounter.java:22-24)."""
-    for i, d in enumerate(dnaqs):
-        yield f"{i + 1}", d.to_string(), d.phred
 
 
 class ReadsClassifier(Tool):
@@ -105,63 +98,59 @@ class ReadsClassifier(Tool):
 
         self.info("Loading reads...")
         files = self.reads_files.get(self)
+        check_reads_files(files)
         z = 1.96 if self.interval95.get(self) else 1.0
         thr = self.found_threshold.get(self) / 100.0
         corr = self.do_correction.get(self)
         self.info("Searching for%s reads in graph...",
                   " corrected" if corr else "")
 
-        if len(files) == 2:
-            reads1 = read_dnaq_list(files[0])
-            reads2 = read_dnaq_list(files[1])
-            # PairSource zips; shorter side continues with empty mates
-            n = max(len(reads1), len(reads2))
-            empty = DnaQ(np.empty(0, np.int8), np.empty(0, np.int16))
-            reads1 += [empty] * (n - len(reads1))
-            reads2 += [empty] * (n - len(reads2))
-        else:
-            reads1 = read_dnaq_list(files[0])
-            empty = DnaQ(np.empty(0, np.int8), np.empty(0, np.int16))
-            reads2 = [empty] * len(reads1)
+        # Streaming classification: read pairs are pulled in fixed-size
+        # batches and routed straight to the six bin writers -- memory is
+        # O(CLASSIFY_BATCH), matching the reference's streaming PairSource +
+        # per-pair tasks (src/tools/ReadsClassifier.java:160-187,
+        # itmo:io/sources/PairSource.java:22-57) instead of materializing
+        # whole read files.
+        n_both = n_first = n_second = n_neither = 0
+        writers = {name: FastqWriter(os.path.join(out, name + ".fastq"))
+                   for name in ("found_1", "found_2", "not_found_1",
+                                "not_found_2", "found_s", "not_found_s")}
+        try:
+            for reads1, reads2 in iter_dnaq_pair_batches(files, CLASSIFY_BATCH):
+                b1 = ReadBatch.from_dnaqs(reads1)
+                b2 = ReadBatch.from_dnaqs(reads2)
+                f1 = find_reads(b1, kmap, k, hasher, z, thr, corr)
+                f2 = find_reads(b2, kmap, k, hasher, z, thr, corr)
+                # single-end convention (PairFinder.java:42-44)
+                f2 = np.where(b2.lengths == 0, ~f1, f2)
+                for i in range(len(reads1)):
+                    r1, r2 = reads1[i], reads2[i]
+                    if f1[i] and f2[i]:
+                        n_both += 1
+                        writers["found_1"].write(r1)
+                        writers["found_2"].write(r2)
+                    elif not f1[i] and not f2[i]:
+                        n_neither += 1
+                        writers["not_found_1"].write(r1)
+                        writers["not_found_2"].write(r2)
+                    elif f1[i]:
+                        n_first += 1
+                        if len(r1):
+                            writers["found_s"].write(r1)
+                        if len(r2):
+                            writers["not_found_s"].write(r2)
+                    else:
+                        n_second += 1
+                        if len(r2):
+                            writers["found_s"].write(r2)
+                        if len(r1):
+                            writers["not_found_s"].write(r1)
+        finally:
+            for w in writers.values():
+                w.close()
 
-        found_1 = np.zeros(len(reads1), bool)
-        found_2 = np.zeros(len(reads1), bool)
-        for s in range(0, len(reads1), CLASSIFY_BATCH):
-            b1 = ReadBatch.from_dnaqs(reads1[s:s + CLASSIFY_BATCH])
-            b2 = ReadBatch.from_dnaqs(reads2[s:s + CLASSIFY_BATCH])
-            f1 = find_reads(b1, kmap, k, hasher, z, thr, corr)
-            f2 = find_reads(b2, kmap, k, hasher, z, thr, corr)
-            # single-end convention (PairFinder.java:42-44)
-            f2 = np.where(b2.lengths == 0, ~f1, f2)
-            found_1[s:s + CLASSIFY_BATCH] = f1
-            found_2[s:s + CLASSIFY_BATCH] = f2
-
-        both = found_1 & found_2
-        first = found_1 & ~found_2
-        second = ~found_1 & found_2
-        neither = ~found_1 & ~found_2
-        stats = FoundStats(int(both.sum()), int(first.sum()),
-                           int(second.sum()), int(neither.sum()))
+        stats = FoundStats(n_both, n_first, n_second, n_neither)
         self._log_stats(stats)
-
-        self.info("Writing classified reads...")
-        sel = np.flatnonzero
-        write_fastq(os.path.join(out, "found_1.fastq"),
-                    dnaq_fastq_records([reads1[i] for i in sel(both)]))
-        write_fastq(os.path.join(out, "found_2.fastq"),
-                    dnaq_fastq_records([reads2[i] for i in sel(both)]))
-        write_fastq(os.path.join(out, "not_found_1.fastq"),
-                    dnaq_fastq_records([reads1[i] for i in sel(neither)]))
-        write_fastq(os.path.join(out, "not_found_2.fastq"),
-                    dnaq_fastq_records([reads2[i] for i in sel(neither)]))
-        found_s = [reads1[i] for i in sel(first) if len(reads1[i])] + \
-                  [reads2[i] for i in sel(second) if len(reads2[i])]
-        not_found_s = [reads2[i] for i in sel(first) if len(reads2[i])] + \
-                      [reads1[i] for i in sel(second) if len(reads1[i])]
-        write_fastq(os.path.join(out, "found_s.fastq"),
-                    dnaq_fastq_records(found_s))
-        write_fastq(os.path.join(out, "not_found_s.fastq"),
-                    dnaq_fastq_records(not_found_s))
         self.info("Reads have been written. Finishing...")
 
     def _log_stats(self, stats: FoundStats) -> None:

@@ -15,10 +15,10 @@ from ..tool import Tool, Parameter, ExecutionFailedException
 from ..algo.classify import (
     ReadBatch, find_reads, batch_widths, triple_verdict_pass1,
     triple_verdict_pass2, FOUND, HALF_FOUND, NOT_FOUND)
-from ..io.writers import write_fastq
+from ..io.writers import FastqWriter
 from .reads_classifier import (
-    load_classifier_graph, read_dnaq_list, dnaq_fastq_records, CLASSIFY_BATCH)
-from ..io.readers import DnaQ
+    load_classifier_graph, check_reads_files, CLASSIFY_BATCH)
+from ..io.readers import iter_dnaq_pair_batches
 
 
 class TripleReadsClassifier(Tool):
@@ -89,93 +89,94 @@ class TripleReadsClassifier(Tool):
 
         self.info("Loading reads...")
         files = self.reads_files.get(self)
-        reads1 = read_dnaq_list(files[0])
-        if len(files) >= 2:
-            reads2 = read_dnaq_list(files[1])
-        else:
-            reads2 = []
-        n = max(len(reads1), len(reads2))
-        empty = DnaQ(np.empty(0, np.int8), np.empty(0, np.int16))
-        reads1 += [empty] * (n - len(reads1))
-        reads2 += [empty] * (n - len(reads2))
+        check_reads_files(files)
 
         z = 1.96 if self.interval95.get(self) else 1.0
         thr = self.found_threshold.get(self) / 100.0
         half = self.half_threshold.get(self) / 100.0
         corr = self.do_correction.get(self)
 
+        # Pass 1 streams the read pairs and keeps ONLY the per-read verdicts
+        # (2 int8 per pair) between passes -- the reference keys a
+        # ConcurrentHashMap by read string (TripleReadsClassifier.java:183-227),
+        # which is far heavier; read index is the equivalent join key here
+        # because both passes stream the files in the same order.
         self.info("Building graph with k = %d ...", k)
         kmap1, hasher1 = self._load(k, self.input_kmers_1)
         self.info("Searching for%s reads in graph...", " corrected" if corr else "")
-        v1_1 = np.zeros(n, np.int32)
-        v1_2 = np.zeros(n, np.int32)
-        for s in range(0, n, CLASSIFY_BATCH):
-            b1 = ReadBatch.from_dnaqs(reads1[s:s + CLASSIFY_BATCH])
-            b2 = ReadBatch.from_dnaqs(reads2[s:s + CLASSIFY_BATCH])
+        v1_parts_1: list[np.ndarray] = []
+        v1_parts_2: list[np.ndarray] = []
+        for reads1, reads2 in iter_dnaq_pair_batches(files, CLASSIFY_BATCH):
+            b1 = ReadBatch.from_dnaqs(reads1)
+            b2 = ReadBatch.from_dnaqs(reads2)
             f1 = find_reads(b1, kmap1, k, hasher1, z, thr, corr)
             f2 = find_reads(b2, kmap1, k, hasher1, z, thr, corr)
             f2 = np.where(b2.lengths == 0, ~f1, f2)
             w1 = batch_widths(b1, kmap1, k, hasher1)
             w2 = batch_widths(b2, kmap1, k, hasher1)
-            v1_1[s:s + CLASSIFY_BATCH] = triple_verdict_pass1(f1, w1, half)
-            v1_2[s:s + CLASSIFY_BATCH] = triple_verdict_pass1(f2, w2, half)
+            v1_parts_1.append(
+                triple_verdict_pass1(f1, w1, half).astype(np.int8))
+            v1_parts_2.append(
+                triple_verdict_pass1(f2, w2, half).astype(np.int8))
         del kmap1
+        v1_1 = np.concatenate(v1_parts_1) if v1_parts_1 else np.empty(0, np.int8)
+        v1_2 = np.concatenate(v1_parts_2) if v1_parts_2 else np.empty(0, np.int8)
 
         self.info("Building graph with k = %d ...", k2)
         kmap2, hasher2 = self._load(k2, self.input_kmers_2)
         self.info("Searching for%s reads in graph...", " corrected" if corr else "")
-        r1 = np.zeros(n, np.int32)
-        r2 = np.zeros(n, np.int32)
-        for s in range(0, n, CLASSIFY_BATCH):
-            b1 = ReadBatch.from_dnaqs(reads1[s:s + CLASSIFY_BATCH])
-            b2 = ReadBatch.from_dnaqs(reads2[s:s + CLASSIFY_BATCH])
-            f1 = find_reads(b1, kmap2, k2, hasher2, z, thr, corr)
-            f2 = find_reads(b2, kmap2, k2, hasher2, z, thr, corr)
-            f2 = np.where(b2.lengths == 0, ~f1, f2)
-            w1 = batch_widths(b1, kmap2, k2, hasher2)
-            w2 = batch_widths(b2, kmap2, k2, hasher2)
-            r1[s:s + CLASSIFY_BATCH] = triple_verdict_pass2(
-                f1, w1, v1_1[s:s + CLASSIFY_BATCH], half)
-            r2[s:s + CLASSIFY_BATCH] = triple_verdict_pass2(
-                f2, w2, v1_2[s:s + CLASSIFY_BATCH], half)
 
-        # route the 9 combinations (TripleFinder2.java:83-107)
-        both_found = np.flatnonzero((r1 == FOUND) & (r2 == FOUND))
-        both_half = np.flatnonzero((r1 == HALF_FOUND) & (r2 == HALF_FOUND))
-        both_not = np.flatnonzero((r1 == NOT_FOUND) & (r2 == NOT_FOUND))
-        mixed = (r1 != r2)
-        s_found, s_half, s_not = [], [], []
-        for i in np.flatnonzero(mixed):
-            for res, read in ((r1[i], reads1[i]), (r2[i], reads2[i])):
-                (s_found if res == FOUND else
-                 s_half if res == HALF_FOUND else s_not).append(read)
+        bins = ("found_1", "found_2", "half_found_1", "half_found_2",
+                "not_found_1", "not_found_2", "found_s", "half_found_s",
+                "not_found_s")
+        writers = {name: FastqWriter(os.path.join(out, name + ".fastq"))
+                   for name in bins}
+        n_both = {FOUND: 0, HALF_FOUND: 0, NOT_FOUND: 0}
+        n_single = {FOUND: 0, HALF_FOUND: 0, NOT_FOUND: 0}
+        pair_bin = {FOUND: "found", HALF_FOUND: "half_found",
+                    NOT_FOUND: "not_found"}
+        try:
+            offset = 0
+            for reads1, reads2 in iter_dnaq_pair_batches(files, CLASSIFY_BATCH):
+                b1 = ReadBatch.from_dnaqs(reads1)
+                b2 = ReadBatch.from_dnaqs(reads2)
+                f1 = find_reads(b1, kmap2, k2, hasher2, z, thr, corr)
+                f2 = find_reads(b2, kmap2, k2, hasher2, z, thr, corr)
+                f2 = np.where(b2.lengths == 0, ~f1, f2)
+                w1 = batch_widths(b1, kmap2, k2, hasher2)
+                w2 = batch_widths(b2, kmap2, k2, hasher2)
+                sl = slice(offset, offset + len(reads1))
+                r1 = triple_verdict_pass2(f1, w1, v1_1[sl], half)
+                r2 = triple_verdict_pass2(f2, w2, v1_2[sl], half)
+                offset += len(reads1)
+                # route the 9 combinations (TripleFinder2.java:83-107)
+                for i in range(len(reads1)):
+                    a, b = int(r1[i]), int(r2[i])
+                    if a == b:
+                        n_both[a] += 1
+                        base = pair_bin[a]
+                        # found_[12] write even empty mates (matches pass-2
+                        # routing of the reference); half/not skip empties
+                        if a == FOUND or len(reads1[i]):
+                            writers[base + "_1"].write(reads1[i])
+                        if a == FOUND or len(reads2[i]):
+                            writers[base + "_2"].write(reads2[i])
+                    else:
+                        for res, read in ((a, reads1[i]), (b, reads2[i])):
+                            n_single[res] += 1
+                            if len(read):
+                                writers[pair_bin[res] + "_s"].write(read)
+        finally:
+            for w in writers.values():
+                w.close()
 
-        stats_total = 2 * (len(both_found) + len(both_half) + len(both_not)) \
-            + len(s_found) + len(s_half) + len(s_not)
+        paired = 2 * sum(n_both.values())
+        stats_total = paired + sum(n_single.values())
         self.info("|\tTotal: %d reads", stats_total)
-        self.info("|\tPaired: %d reads",
-                  2 * (len(both_found) + len(both_half) + len(both_not)))
-        self.info("|\tFound: %d reads", 2 * len(both_found) + len(s_found))
-        self.info("|\tHalf found: %d reads", 2 * len(both_half) + len(s_half))
-        self.info("|\tNot found: %d reads", 2 * len(both_not) + len(s_not))
-
-        self.info("Writing classified reads...")
-        write_fastq(os.path.join(out, "found_1.fastq"),
-                    dnaq_fastq_records([reads1[i] for i in both_found]))
-        write_fastq(os.path.join(out, "found_2.fastq"),
-                    dnaq_fastq_records([reads2[i] for i in both_found]))
-        write_fastq(os.path.join(out, "half_found_1.fastq"),
-                    dnaq_fastq_records([reads1[i] for i in both_half if len(reads1[i])]))
-        write_fastq(os.path.join(out, "half_found_2.fastq"),
-                    dnaq_fastq_records([reads2[i] for i in both_half if len(reads2[i])]))
-        write_fastq(os.path.join(out, "not_found_1.fastq"),
-                    dnaq_fastq_records([reads1[i] for i in both_not if len(reads1[i])]))
-        write_fastq(os.path.join(out, "not_found_2.fastq"),
-                    dnaq_fastq_records([reads2[i] for i in both_not if len(reads2[i])]))
-        write_fastq(os.path.join(out, "found_s.fastq"),
-                    dnaq_fastq_records([r for r in s_found if len(r)]))
-        write_fastq(os.path.join(out, "half_found_s.fastq"),
-                    dnaq_fastq_records([r for r in s_half if len(r)]))
-        write_fastq(os.path.join(out, "not_found_s.fastq"),
-                    dnaq_fastq_records([r for r in s_not if len(r)]))
+        self.info("|\tPaired: %d reads", paired)
+        self.info("|\tFound: %d reads", 2 * n_both[FOUND] + n_single[FOUND])
+        self.info("|\tHalf found: %d reads",
+                  2 * n_both[HALF_FOUND] + n_single[HALF_FOUND])
+        self.info("|\tNot found: %d reads",
+                  2 * n_both[NOT_FOUND] + n_single[NOT_FOUND])
         self.info("Reads have been written. Finishing...")

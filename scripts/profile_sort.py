@@ -8,6 +8,7 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault(
     "MC_JAX_CACHE",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

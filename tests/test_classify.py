@@ -225,3 +225,46 @@ def test_cli_reads_classifier_single_file(tmp_path):
     n_ns = len(open(os.path.join(out, "not_found_s.fastq")).read().splitlines()) // 4
     assert n_s >= 15 and n_ns >= 15
     assert open(os.path.join(out, "found_1.fastq")).read() == ""
+
+
+def test_classifier_streams_constant_memory(tmp_path):
+    """VERDICT r1 #4: the classifier must stream pairs in O(batch) memory,
+    never materializing whole read files (reference streams via PairSource,
+    itmo:io/sources/PairSource.java:22-57). Classifies 120k reads while
+    asserting Python-heap peak stays far below the materialized-list cost,
+    and that bin contents are exact."""
+    import tracemalloc
+    from metacherchant_tpu.runner import main as runner_main
+
+    rng = np.random.default_rng(7)
+    g = "".join(rng.choice(list("ACGT"), size=4000))
+    n = 120_000
+    starts = rng.integers(0, 3900, size=n)
+    with open(tmp_path / "r1.fastq", "w") as f1, \
+            open(tmp_path / "r2.fastq", "w") as f2:
+        for i, s in enumerate(starts):
+            read = g[s:s + 80]
+            f1.write(f"@a{i}\n{read}\n+\n{'I' * 80}\n")
+            f2.write(f"@b{i}\n{read}\n+\n{'I' * 80}\n")
+    with open(tmp_path / "graph.fasta", "w") as f:
+        f.write(f">g\n{g}\n")
+
+    os.environ["MC_HOST_COUNT"] = "1"
+    try:
+        tracemalloc.start()
+        rc = runner_main([
+            "-t", "reads-classifier", "-k", "21",
+            "-i", str(tmp_path / "graph.fasta"),
+            "-r", str(tmp_path / "r1.fastq"), str(tmp_path / "r2.fastq"),
+            "-o", str(tmp_path / "out"),
+            "--work-dir", str(tmp_path / "wd")])
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+    finally:
+        os.environ.pop("MC_HOST_COUNT", None)
+    assert rc == 0
+    # materialized DnaQ lists would cost >= 2 files * 120k * ~400B >= 90MB;
+    # streaming must stay well under that (batch arrays + k-mer map only)
+    assert peak < 60 * 1024 * 1024, f"peak {peak / 1e6:.1f} MB"
+    n_found = len(open(tmp_path / "out" / "found_1.fastq").read().splitlines()) // 4
+    assert n_found == n  # every read is a genome substring at coverage >= 1
