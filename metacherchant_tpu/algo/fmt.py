@@ -144,7 +144,22 @@ def build_colored_picture(subgraph: dict[str, int], k: int,
     def is_gene(seq: str, rc: str) -> bool:
         return seq in gene_windows or rc in gene_windows
 
-    use_device = os.environ.get("MC_DEVICE_CONTRACT") and k % 2 == 1 and k <= 31
+    kmer_list = sorted(subgraph)
+    # batch the color predicate: one vectorized probe per bin instead of
+    # per-k-mer Python hashing + binary searches (the FMTVisualiser scale
+    # case colors the entire metagenome graph, FMTVisualiser.java:287-300)
+    if color_of is not None and hasattr(color_of, "colors_for") and kmer_list:
+        colors = color_of.colors_for(kmer_list)
+        lut = dict(zip(kmer_list, colors))
+        color_of = lambda s: str(lut[s])  # noqa: E731
+
+    # big pictures auto-route through the device pointer-jumping contraction;
+    # MC_DEVICE_CONTRACT=1 forces it, MC_DEVICE_CONTRACT=0 forces host
+    flag = os.environ.get("MC_DEVICE_CONTRACT")
+    eligible = k % 2 == 1 and k <= 31
+    auto_min = int(os.environ.get("MC_DEVICE_CONTRACT_MIN", "200000"))
+    use_device = eligible and (
+        flag == "1" or (flag != "0" and len(kmer_list) >= auto_min))
     if use_device:
         # whole-metagenome pictures are the scale case: pointer-jumping
         # contraction in one device dispatch (ops/contraction_device.py)
@@ -162,11 +177,11 @@ def build_colored_picture(subgraph: dict[str, int], k: int,
             else:
                 node.color = tag
 
-        nodes = contract_device(sorted(subgraph), k, tag_of=tag_of,
+        nodes = contract_device(kmer_list, k, tag_of=tag_of,
                                 decorate=decorate)
     else:
         nodes = build_node_graph(
-            sorted(subgraph), k,
+            kmer_list, k,
             is_gene=is_gene if gene_sequence is not None else None,
             color_of=color_of)
         if merge_on_gene:
@@ -204,44 +219,55 @@ def _write_named_seqs(path: str, nodes: list[Node], id_mode: str) -> None:
 # color predicates (two-set and four-set membership rules)
 # ---------------------------------------------------------------------------
 
+class MembershipColor:
+    """Bin-membership color predicate, callable per k-mer AND batchable.
+
+    The scalar __call__ keeps the reference's per-k-mer decision shape
+    (FMTVisualiser.java:225-229, 271-282); colors_for() evaluates the same
+    predicate for a whole k-mer list with ONE vectorized key computation and
+    ONE KmerMap.get_many probe per bin -- the path the whole-metagenome
+    pictures take (FMTVisualiser.java:287-300 colors every graph k-mer)."""
+
+    def __init__(self, k: int, hasher: str | None, bins: list[KmerMap],
+                 rule_np: Callable[..., np.ndarray]):
+        self.k = k
+        self.hasher = hasher
+        self.bins = bins
+        self.rule_np = rule_np
+
+    def __call__(self, seq: str) -> str:
+        key = kmer_key(seq, self.k, self.hasher)
+        member = [np.array([b.get(key) >= 0]) for b in self.bins]
+        return str(self.rule_np(*member)[0])
+
+    def colors_for(self, kmers: list[str]) -> np.ndarray:
+        from ..ops.kmers import keys_of_kmer_strings
+        keys = keys_of_kmer_strings(kmers, self.k, self.hasher)
+        member = [b.get_many(keys) >= 0 for b in self.bins]
+        return self.rule_np(*member)
+
+
 def two_bin_color(k: int, hasher: str | None, pos: KmerMap, neg: KmerMap
-                  ) -> Callable[[str], str]:
+                  ) -> MembershipColor:
     """GREEN / BLUE / GREY / BLACK by membership in (pos, neg)
     (FMTVisualiser.java:225-229, 245-249)."""
-    def color(seq: str) -> str:
-        key = kmer_key(seq, k, hasher)
-        in_pos = pos.get(key) >= 0
-        in_neg = neg.get(key) >= 0
-        if in_pos and not in_neg:
-            return "GREEN"
-        if in_neg and not in_pos:
-            return "BLUE"
-        if in_pos and in_neg:
-            return "GREY"
-        return "BLACK"
-    return color
+    def rule(in_pos: np.ndarray, in_neg: np.ndarray) -> np.ndarray:
+        return np.select(
+            [in_pos & ~in_neg, in_neg & ~in_pos, in_pos & in_neg],
+            ["GREEN", "BLUE", "GREY"], default="BLACK")
+    return MembershipColor(k, hasher, [pos, neg], rule)
 
 
 def four_bin_color(k: int, hasher: str | None, from_donor: KmerMap,
                    from_before: KmerMap, from_both: KmerMap, itself: KmerMap
-                   ) -> Callable[[str], str]:
+                   ) -> MembershipColor:
     """RED/BLUE/GREEN/YELLOW exclusive, BLACK none, GREY mixed
     (FMTVisualiser.java:271-282)."""
-    def color(seq: str) -> str:
-        key = kmer_key(seq, k, hasher)
-        a = from_donor.get(key) >= 0
-        b = from_before.get(key) >= 0
-        c = from_both.get(key) >= 0
-        d = itself.get(key) >= 0
-        if a and not b and not c and not d:
-            return "RED"
-        if b and not a and not c and not d:
-            return "BLUE"
-        if c and not a and not b and not d:
-            return "GREEN"
-        if d and not a and not b and not c:
-            return "YELLOW"
-        if not (a or b or c or d):
-            return "BLACK"
-        return "GREY"
-    return color
+    def rule(a, b, c, d) -> np.ndarray:
+        none = ~(a | b | c | d)
+        return np.select(
+            [a & ~b & ~c & ~d, b & ~a & ~c & ~d,
+             c & ~a & ~b & ~d, d & ~a & ~b & ~c, none],
+            ["RED", "BLUE", "GREEN", "YELLOW", "BLACK"], default="GREY")
+    return MembershipColor(k, hasher, [from_donor, from_before, from_both,
+                                       itself], rule)

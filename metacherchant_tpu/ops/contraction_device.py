@@ -120,10 +120,11 @@ def contract_device(kmers: list[str], k: int, tag_of=None,
     list. tag_of(seq, rc) -> hashable merge tag (default: False);
     decorate(node, tag) applies tag attributes to a node (default: bool tag
     -> is_gene + GREEN color, like build_node_graph's default)."""
-    from ..dna import kmer_to_code, reverse_complement
+    from ..dna import reverse_complement
+    from .kmers import fw_codes_of_kmer_strings
     if not kmers:
         return []
-    codes = np.fromiter((kmer_to_code(s) for s in kmers), np.int64, len(kmers))
+    codes = fw_codes_of_kmer_strings(kmers, k)
     tag_values = []
     tag_ids: dict = {}
     for s in kmers:

@@ -242,6 +242,47 @@ def hash_codes_np(codes: np.ndarray, hasher: str) -> np.ndarray:
     return np.minimum(fw.view(np.int64), rc.view(np.int64))
 
 
+def codes_matrix_of_kmer_strings(kmers: list[str], k: int) -> np.ndarray:
+    """(N, k) int8 nucleotide codes of equal-length k-mer strings (host).
+
+    One frombuffer + table lookup instead of per-string Python loops; the
+    strings must be plain ACGT (normalized subgraph k-mers always are)."""
+    from ..dna import CHAR_TO_CODE
+    raw = np.frombuffer("".join(kmers).encode("ascii"), np.uint8)
+    return CHAR_TO_CODE[raw].reshape(len(kmers), k)
+
+
+def fw_codes_of_kmer_strings(kmers: list[str], k: int) -> np.ndarray:
+    """Vectorized kmer_to_code over N strings: 2-bit packed forward codes."""
+    if not kmers:
+        return np.empty(0, np.int64)
+    codes = codes_matrix_of_kmer_strings(kmers, k).astype(np.uint64)
+    shifts = (2 * (k - 1 - np.arange(k))).astype(np.uint64)
+    return (codes << shifts[None, :]).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+
+def keys_of_kmer_strings(kmers: list[str], k: int, hasher: str | None
+                         ) -> np.ndarray:
+    """Vectorized hash_str over N equal-length k-mer strings (host, numpy).
+
+    Exact regime: canonical 2-bit code min(fw, rc) (itmo:utils/KmerUtils.java
+    getKmerKey:59-61); hashed regime: canonical poly/FNV-1a via hash_codes_np.
+    One probe batch for a whole subgraph instead of per-k-mer Python — the
+    FMT whole-metagenome coloring path depends on this
+    (src/tools/FMTVisualiser.java:287-300 colors every graph k-mer)."""
+    if not kmers:
+        return np.empty(0, np.int64)
+    codes = codes_matrix_of_kmer_strings(kmers, k)
+    if hasher is not None:
+        return hash_codes_np(codes, hasher)
+    u = codes.astype(np.uint64)
+    shifts = (2 * (k - 1 - np.arange(k))).astype(np.uint64)
+    fw = (u << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    rshifts = (2 * np.arange(k)).astype(np.uint64)
+    rc = ((u ^ np.uint64(3)) << rshifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.minimum(fw.view(np.int64), rc.view(np.int64))
+
+
 def poly_hash_str(s: str) -> int:
     """Reference polynomial hash of one k-mer string (src/utils/PolynomialHash.java:7-16)."""
     from ..dna import CHAR_TO_CODE

@@ -77,6 +77,13 @@ class EnvironmentAssemblerFinder(Tool):
         self.assembler_path = self.add_parameter(Parameter(
             "assemblerpath", str, mandatory=True,
             description="path of the assembler"))
+        # the reference's 3 stages (:175-240) as checkpointed steps: each gets
+        # its own SUCCESS.<step> marker, --continue resumes mid-pipeline, and
+        # --start/--finish bound which stages execute (Tool.java:94-101)
+        self._aborted = False
+        self.add_step("environment", self._step_environment)
+        self.add_step("assembly", self._step_assembly)
+        self.add_step("re-environment", self._step_reenvironment)
 
     def _hasher(self, k: int) -> str | None:
         if k <= 31 and not self.force_hashing.get(self):
@@ -143,15 +150,16 @@ class EnvironmentAssemblerFinder(Tool):
         except OSError as e:
             self.info("%s", e)
 
-    def run_impl(self) -> None:
+    def _step_environment(self) -> None:
+        """Stage 1: env BFS + per-file read filtration (:186-200)."""
         self.check_termination()
         out = self.output_dir.get(self)
         output_prefix = out + "/"
         reads_files = self.reads_files.get(self) or []
-
         env, hasher = self._run_env(reads_files, self.k.get(self),
                                     self.min_coverage.get(self), output_prefix)
         if env is None:
+            self._aborted = True
             return
         checker = SubgraphChecker(env.normalized_strings(), self.k.get(self), hasher)
         for i, f in enumerate(reads_files):
@@ -161,13 +169,23 @@ class EnvironmentAssemblerFinder(Tool):
         self.info("Filtration done!")
         self.info("Finished processing all sequences!")
 
-        for i in range(len(reads_files)):
+    def _step_assembly(self) -> None:
+        """Stage 2: external SPAdes/MEGAHIT over extracted reads (:204-214)."""
+        if self._aborted:
+            return
+        output_prefix = self.output_dir.get(self) + "/"
+        for i in range(len(self.reads_files.get(self) or [])):
             self._run_assembler(output_prefix, i)
         self.info("Finished assembling all sequences!")
 
-        # stage 3: re-run on contigs with k=55, coverage=0 (:216-239)
+    def _step_reenvironment(self) -> None:
+        """Stage 3: re-run env on assembled contigs, k=55, coverage=0 (:216-239)."""
+        if self._aborted:
+            return
+        out = self.output_dir.get(self)
+        output_prefix = out + "/"
         contig_files = [os.path.join(output_prefix, f"contigs{i}.fasta")
-                        for i in range(len(reads_files))]
+                        for i in range(len(self.reads_files.get(self) or []))]
         result_prefix = os.path.join(out, "result") + "/"
         env2, hasher2 = self._run_env(contig_files, 55, 0, result_prefix)
         if env2 is None:

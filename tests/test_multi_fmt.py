@@ -280,3 +280,72 @@ def test_cli_fmt_visualiser(tmp_path, k, monkeypatch):
             seq = l.split("\t")[2]
             for i in range(len(seq) - k + 1):
                 assert normalize(seq[i:i + k]) in kmers
+
+
+def test_keys_of_kmer_strings_matches_hash_str():
+    import numpy as np
+    from metacherchant_tpu.ops.kmers import (
+        keys_of_kmer_strings, fw_codes_of_kmer_strings, hash_str)
+    from metacherchant_tpu.dna import kmer_to_code
+
+    rng = np.random.default_rng(3)
+    for k, hasher in [(7, None), (21, None), (31, None),
+                      (21, "poly"), (35, "poly"), (35, "fnv1a")]:
+        kmers = ["".join(rng.choice(list("ACGT"), k)) for _ in range(64)]
+        got = keys_of_kmer_strings(kmers, k, hasher)
+        want = np.array([hash_str(s, hasher) for s in kmers], np.int64)
+        assert (got == want).all(), (k, hasher)
+        if hasher is None:
+            fw = fw_codes_of_kmer_strings(kmers, k)
+            want_fw = np.array([kmer_to_code(s) for s in kmers], np.int64)
+            assert (fw == want_fw).all()
+    assert keys_of_kmer_strings([], 21, None).size == 0
+
+
+def test_batched_colors_match_scalar_predicate():
+    import numpy as np
+    rng = np.random.default_rng(5)
+    seqs = ["".join(rng.choice(list("ACGT"), 200)) for _ in range(4)]
+    bins = [count_sequences_host([s], 15) for s in seqs]
+    kmers = sorted({s[i:i + 15] for s in seqs for i in range(0, 150, 3)}
+                   | {"".join(rng.choice(list("ACGT"), 15)) for _ in range(50)})
+    for color in (two_bin_color(15, None, bins[0], bins[1]),
+                  four_bin_color(15, None, *bins)):
+        batch = color.colors_for(kmers)
+        assert list(batch) == [color(s) for s in kmers]
+
+
+def test_colored_picture_batched_equals_scalar(tmp_path, monkeypatch):
+    """The vectorized color + auto device-contraction path produces the same
+    GFA segment content as the per-k-mer host path."""
+    import numpy as np
+    from metacherchant_tpu.counting import count_sequences_host as cs
+
+    rng = np.random.default_rng(11)
+    genome = "".join(rng.choice(list("ACGT"), 3000))
+    k = 15
+    kmap = cs([genome], k)
+    sub = {normalize(genome[i:i + k]): 1
+           for i in range(len(genome) - k + 1)}
+    pos = cs([genome[:1500]], k)
+    neg = cs([genome[1200:]], k)
+    color = two_bin_color(k, None, pos, neg)
+
+    def s_lines(path):
+        return sorted(ln.split("\t")[2] + "|" + ln.split("\t")[5]
+                      for ln in open(path) if ln.startswith("S"))
+
+    monkeypatch.setenv("MC_DEVICE_CONTRACT", "0")
+    build_colored_picture(sub, k, color, str(tmp_path), "host")
+    monkeypatch.setenv("MC_DEVICE_CONTRACT", "1")
+    build_colored_picture(sub, k, color, str(tmp_path), "dev")
+    host = s_lines(tmp_path / "host.gfa")
+    dev = s_lines(tmp_path / "dev.gfa")
+    # same unitig multiset up to orientation
+    def canon(entries):
+        out = []
+        for e in entries:
+            seq, col = e.split("|")
+            out.append(normalize(seq) + "|" + col)
+        return sorted(out)
+    assert canon(host) == canon(dev)
