@@ -112,7 +112,9 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
     """Count canonical k-mers of all reads into a KmerMap (device hot path).
 
     engine: 'sort' (default; loop-free append + bulk-sort consolidation,
-    ops/sortcount.py) or 'hash' (open-addressing table, ops/hashtable.py).
+    ops/sortcount.py), 'merge' (per-batch small sorts + bitonic-merge
+    consolidation, ops/mergecount.py -- fastest on TPU), 'hash'
+    (open-addressing table, ops/hashtable.py), or 'sharded' (multi-chip).
     Ingestion uses the native (C++) parser + vectorized packing per file when
     available, else the Python per-fragment readers.
     """
@@ -141,6 +143,12 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
         counter = StreamCounter(
             buffer_cap_log2=max(table_log2 + 2,
                                 int(np.ceil(np.log2(batch * max_len))) + 1),
+            store_cap_log2=table_log2)
+        sink = lambda codes: counter.add_codes(codes, k, hasher)
+    elif engine == "merge":
+        from .ops.mergecount import MergeCounter
+        counter = MergeCounter(
+            run_cap_log2=int(np.ceil(np.log2(batch * max_len))),
             store_cap_log2=table_log2)
         sink = lambda codes: counter.add_codes(codes, k, hasher)
     else:
@@ -172,9 +180,9 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
             if len(buf) == batch:
                 flush()
     flush()
-    if engine in ("sort", "sharded"):
-        keys, counts = (counter.finalize() if engine == "sort"
-                        else counter.items_host())
+    if engine in ("sort", "merge", "sharded"):
+        keys, counts = (counter.items_host() if engine == "sharded"
+                        else counter.finalize())
     else:
         keys, counts = table.items_host()
     logger.debug("k-mers HM size = %d", len(keys))
