@@ -179,6 +179,14 @@ def bfs_fifo(seed_list: list[int], kmap: KmerMap, k: int, min_occ: int,
     """
     if not seed_list:
         return BfsResult(np.empty(0, np.int64), np.empty(0, np.int64), fail=True)
+    from .. import native
+    if native.bfs_available():
+        # C++ FIFO engine (native/bfs.cpp): identical admission semantics,
+        # ~100x the Python loop; equality pinned in tests/test_native_bfs.py
+        vis, last = native.bfs_exact(
+            kmap.keys, kmap.counts, np.asarray(seed_list, np.int64), k,
+            min_occ, direction, max_radius, max_kmers, collect_last)
+        return BfsResult(vis, last)
     counts = kmap.oriented_dict(k)
     get = counts.get
     mask = (1 << (2 * k)) - 1
@@ -351,8 +359,17 @@ def _extend_environment_count(env: Environment, kmap: KmerMap,
         return 0
     cand = neighbors_codes(env.codes, env.k, 0)           # (S, 8)
     canon = canonical_codes(cand, env.k)
-    sub_canon = np.sort(canonical_codes(env.codes, env.k))
-    in_sub = _in_sorted(sub_canon, canon.ravel()).reshape(canon.shape)
-    occs = kmap.get_many(canon)
+    # single searchsorted: env canonical keys are a subset of the map keys
+    # (every admitted k-mer has count >= min_occ), so subgraph membership is
+    # a boolean over map positions instead of a second binary search
+    pos = np.searchsorted(kmap.keys, canon.ravel())
+    pos_c = np.minimum(pos, max(kmap.keys.size - 1, 0))
+    hit = kmap.keys.size > 0
+    hit = (kmap.keys[pos_c] == canon.ravel()) if hit else np.zeros(canon.size, bool)
+    occs = np.where(hit, kmap.counts[pos_c], -1).reshape(canon.shape)
+    env_mask = np.zeros(kmap.keys.size, bool)
+    sub_pos = np.searchsorted(kmap.keys, canonical_codes(env.codes, env.k))
+    env_mask[np.minimum(sub_pos, max(kmap.keys.size - 1, 0))] = True
+    in_sub = (env_mask[pos_c] & hit).reshape(canon.shape)
     outside = (~in_sub) & (occs >= min_occ)
     return int((outside.sum(axis=1) == 1).sum())

@@ -34,6 +34,11 @@ _NUCS = "AGCT"  # neighbor generation order (itmo:dna/DnaTools.java:33)
 _ASCII_RANK = np.array([0, 2, 1, 3], np.uint8)
 
 
+def _native_bfs_available() -> bool:
+    from .. import native
+    return native.bfs_available()
+
+
 def _neighbor_block(states: np.ndarray, direction: int) -> np.ndarray:
     """(F, k) states -> (F, D, k) neighbor states in reference order.
 
@@ -121,6 +126,19 @@ def build_environment_hashed(sequences: list[str], k: int, kmap: KmerMap,
             rows = run_device_bfs_hashed(np.stack(seed_rows), kmap, k,
                                          min_occ, hasher, direction, max_radius)
             union.update({row.tobytes(): row for row in rows})
+        elif _native_bfs_available():
+            # C++ FIFO engine (native/bfs.cpp): exact admission semantics for
+            # BOTH hash regimes (incl. FNV-1a, which has no sliding form);
+            # equality pinned in tests/test_native_bfs.py
+            from .. import native
+            vis_rows, last_rows = native.bfs_hashed(
+                kmap.keys, kmap.counts, np.stack(seed_rows), k, min_occ,
+                direction, max_radius, max_kmers, hasher, collect_last=trim)
+            rows = {row.tobytes(): row for row in vis_rows}
+            if trim:
+                keep = _trim(rows, {r.tobytes() for r in last_rows}, direction)
+                rows = {b: rows[b] for b in keep}
+            union.update(rows)
         elif hasher == "poly":
             # scalar FIFO with O(1) sliding (fw, rc) hash updates -- 5 is odd,
             # hence invertible mod 2^64, so both left and right extensions
