@@ -156,7 +156,11 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
         sink = lambda codes: table.count_insert_codes(codes, k, hasher)
 
     from .progress import Progress
-    progress = Progress(label="reads", log_every=2_500_000)
+    files = [str(f) for f in files]
+    total_bytes = sum(os.path.getsize(f) for f in files
+                      if os.path.exists(f)) or None
+    progress = Progress(label="reads", log_every=2_500_000,
+                        total_bytes=total_bytes)
     buf: list[np.ndarray] = []
 
     def flush():
@@ -174,11 +178,13 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
             for packed in nb:
                 sink(jnp.asarray(packed))
                 progress.update(batch)
-            continue
-        for frag in iter_fragments([f], k, min_len, max_len):
-            buf.append(frag)
-            if len(buf) == batch:
-                flush()
+        else:
+            for frag in iter_fragments([f], k, min_len, max_len):
+                buf.append(frag)
+                if len(buf) == batch:
+                    flush()
+        if os.path.exists(f):
+            progress.advance_bytes(os.path.getsize(f))
     flush()
     if engine in ("sort", "merge", "sharded"):
         keys, counts = (counter.items_host() if engine == "sharded"

@@ -226,10 +226,20 @@ class FastqWriter:
         self._f = open(path, "w")
         self._n = 0
 
-    def write(self, dnaq) -> None:
+    def _format(self, dnaq) -> str:
         self._n += 1
-        q = "".join(chr(min(int(p), 62) + self._offset) for p in dnaq.phred)
-        self._f.write(f"@{self._n}\n{dnaq.to_string()}\n+\n{q}\n")
+        q = (np.minimum(np.asarray(dnaq.phred, np.int16), 62)
+             + self._offset).astype(np.uint8).tobytes().decode("latin-1")
+        return f"@{self._n}\n{dnaq.to_string()}\n+\n{q}\n"
+
+    def write(self, dnaq) -> None:
+        self._f.write(self._format(dnaq))
+
+    def write_many(self, dnaqs) -> None:
+        """Batch write: one formatting pass + one file write per bin slice
+        (keeps classifier routing O(bins) Python work per batch)."""
+        if dnaqs:
+            self._f.write("".join(self._format(d) for d in dnaqs))
 
     def close(self) -> None:
         self._f.close()

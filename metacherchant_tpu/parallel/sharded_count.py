@@ -245,11 +245,18 @@ class ShardedCounter:
 
     def add_codes(self, codes: np.ndarray) -> None:
         """codes: (B, L) int32 with B divisible by n."""
-        # sound per-shard growth bound: a shard inserts at most the lanes it
-        # receives from the all_to_all = n * bucket_cap (mirrors local_step)
         B, L = int(codes.shape[0]), int(codes.shape[1])
-        flat = (B // self.n) * L + self.ov_keys.shape[1]
-        incoming = self.n * (-(-flat // self.n) * 2)  # slack=2 default
+        # Growth estimate: each device contributes <= windows-per-row
+        # (L-k+1, not L) distinct keys + its carry; with a well-mixed owner
+        # hash a shard receives ~1/n of every device's keys, i.e. `local`
+        # keys in expectation, with O(sqrt) concentration. Deliberately the
+        # expectation (not the n*bucket_cap worst case): an underestimate
+        # only trips the reactive table_ovf flag -- residuals are retained
+        # in the carry and re-sent after the sync-triggered grow -- so this
+        # bound tunes _sync frequency, never correctness.
+        windows = max(L - self.k + 1, 0)
+        local = (B // self.n) * windows + self.ov_keys.shape[1]
+        incoming = local + 4 * int(local ** 0.5) + 64  # skew margin
         self._ensure_room(incoming)
         dev = jax.device_put(jnp.asarray(codes), self.batch_sharding)
         (self.tkeys, self.tcnts, self.ov_keys, self.ov_cnts,
@@ -261,14 +268,30 @@ class ShardedCounter:
         self._carry_flags.append(cf)
 
     def drain(self) -> None:
-        """Flush any overflow carry with empty batches until clean."""
+        """Flush any overflow carry with empty batches until clean.
+
+        Progress-bounded (not a fixed iteration cap): every pass either
+        shrinks the live carry or triggers a grow via the table_ovf flag
+        (capacity doubles, so the next pass must land its keys). Two
+        consecutive passes with no shrink and no grow -> hard error.
+        """
         empty = np.full((self.n, self.max_len), -1, np.int32)
-        for _ in range(64):
+        prev_live = None
+        stalls = 0
+        while True:
+            cap_before = self.shard_cap
             self._sync()  # grows if any residuals were flagged
-            if not bool(jnp.any(self.ov_keys != SENTINEL)):
+            live = int(jnp.sum(self.ov_keys != SENTINEL))
+            if live == 0:
                 return
+            progressed = (prev_live is None or live < prev_live
+                          or self.shard_cap > cap_before)
+            stalls = 0 if progressed else stalls + 1
+            if stalls >= 2:
+                raise RuntimeError(
+                    f"overflow carry failed to drain (stuck at {live} keys)")
+            prev_live = live
             self.add_codes(empty)
-        raise RuntimeError("overflow carry failed to drain")
 
     def items_host(self) -> tuple[np.ndarray, np.ndarray]:
         self.drain()

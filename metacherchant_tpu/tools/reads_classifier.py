@@ -123,28 +123,26 @@ class ReadsClassifier(Tool):
                 f2 = find_reads(b2, kmap, k, hasher, z, thr, corr)
                 # single-end convention (PairFinder.java:42-44)
                 f2 = np.where(b2.lengths == 0, ~f1, f2)
-                for i in range(len(reads1)):
-                    r1, r2 = reads1[i], reads2[i]
-                    if f1[i] and f2[i]:
-                        n_both += 1
-                        writers["found_1"].write(r1)
-                        writers["found_2"].write(r2)
-                    elif not f1[i] and not f2[i]:
-                        n_neither += 1
-                        writers["not_found_1"].write(r1)
-                        writers["not_found_2"].write(r2)
-                    elif f1[i]:
-                        n_first += 1
-                        if len(r1):
-                            writers["found_s"].write(r1)
-                        if len(r2):
-                            writers["not_found_s"].write(r2)
-                    else:
-                        n_second += 1
-                        if len(r2):
-                            writers["found_s"].write(r2)
-                        if len(r1):
-                            writers["not_found_s"].write(r1)
+                # Vectorized bin routing: partition the batch by (f1, f2)
+                # once with numpy and write each bin as one slice -- per-read
+                # Python work is gone; order within each bin matches the
+                # reference's sequential pair loop (ReadsClassifier.java:160-187)
+                # because flatnonzero preserves batch order.
+                both = np.flatnonzero(f1 & f2)
+                neither = np.flatnonzero(~f1 & ~f2)
+                single = np.flatnonzero(f1 != f2)
+                n_both += both.size
+                n_neither += neither.size
+                n_first += int(np.count_nonzero(f1[single]))
+                n_second += single.size - int(np.count_nonzero(f1[single]))
+                writers["found_1"].write_many([reads1[i] for i in both])
+                writers["found_2"].write_many([reads2[i] for i in both])
+                writers["not_found_1"].write_many([reads1[i] for i in neither])
+                writers["not_found_2"].write_many([reads2[i] for i in neither])
+                fnd = [reads1[i] if f1[i] else reads2[i] for i in single]
+                nfd = [reads2[i] if f1[i] else reads1[i] for i in single]
+                writers["found_s"].write_many([r for r in fnd if len(r)])
+                writers["not_found_s"].write_many([r for r in nfd if len(r)])
         finally:
             for w in writers.values():
                 w.close()

@@ -135,9 +135,14 @@ class TripleReadsClassifier(Tool):
         n_single = {FOUND: 0, HALF_FOUND: 0, NOT_FOUND: 0}
         pair_bin = {FOUND: "found", HALF_FOUND: "half_found",
                     NOT_FOUND: "not_found"}
+        from ..progress import Progress
+        # pass 1 fixed the total pair count -> exact ETA in pass 2
+        progress = Progress(total=int(v1_1.size) or None,
+                            label="pairs", log_every=500_000)
         try:
             offset = 0
             for reads1, reads2 in iter_dnaq_pair_batches(files, CLASSIFY_BATCH):
+                progress.update(len(reads1))
                 b1 = ReadBatch.from_dnaqs(reads1)
                 b2 = ReadBatch.from_dnaqs(reads2)
                 f1 = find_reads(b1, kmap2, k2, hasher2, z, thr, corr)
@@ -149,23 +154,31 @@ class TripleReadsClassifier(Tool):
                 r1 = triple_verdict_pass2(f1, w1, v1_1[sl], half)
                 r2 = triple_verdict_pass2(f2, w2, v1_2[sl], half)
                 offset += len(reads1)
-                # route the 9 combinations (TripleFinder2.java:83-107)
-                for i in range(len(reads1)):
-                    a, b = int(r1[i]), int(r2[i])
-                    if a == b:
-                        n_both[a] += 1
-                        base = pair_bin[a]
-                        # found_[12] write even empty mates (matches pass-2
-                        # routing of the reference); half/not skip empties
-                        if a == FOUND or len(reads1[i]):
-                            writers[base + "_1"].write(reads1[i])
-                        if a == FOUND or len(reads2[i]):
-                            writers[base + "_2"].write(reads2[i])
-                    else:
-                        for res, read in ((a, reads1[i]), (b, reads2[i])):
-                            n_single[res] += 1
-                            if len(read):
-                                writers[pair_bin[res] + "_s"].write(read)
+                # route the 9 combinations (TripleFinder2.java:83-107),
+                # partitioned with numpy; flatnonzero keeps batch order so
+                # each bin file matches the sequential reference loop
+                same = r1 == r2
+                for v, base in pair_bin.items():
+                    idx = np.flatnonzero(same & (r1 == v))
+                    n_both[v] += idx.size
+                    # found_[12] write even empty mates (matches pass-2
+                    # routing of the reference); half/not skip empties
+                    writers[base + "_1"].write_many(
+                        [reads1[i] for i in idx
+                         if v == FOUND or len(reads1[i])])
+                    writers[base + "_2"].write_many(
+                        [reads2[i] for i in idx
+                         if v == FOUND or len(reads2[i])])
+                single = np.flatnonzero(~same)
+                sel = {v: [] for v in pair_bin}
+                for i in single:
+                    for res, read in ((int(r1[i]), reads1[i]),
+                                      (int(r2[i]), reads2[i])):
+                        n_single[res] += 1
+                        if len(read):
+                            sel[res].append(read)
+                for v, base in pair_bin.items():
+                    writers[base + "_s"].write_many(sel[v])
         finally:
             for w in writers.values():
                 w.close()
