@@ -1,34 +1,39 @@
-"""Benchmark: k-mer counting throughput on the real TPU chip.
+"""Benchmark: all three BASELINE.md metrics on the real TPU chip.
 
-Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout:
+  {"metric": "kmer_count_throughput", "value": N, "unit": "kmers/s/chip",
+   "vs_baseline": N/4e7, "extra": {...}}
+where extra carries the secondary BASELINE metrics (BFS node-expansions/s and
+time-to-env.txt on the wiki-scale workload, host + device engines).
 Progress goes to stderr.
 
-Primary measurement: the DEFAULT counting engine (ops/sortcount.StreamCounter:
-fused canonical extraction -> contiguous append -> sort-based gather-free RLE
-consolidation) end-to-end via the difference method:
+Primary measurement: the DEFAULT counting engine (ops/sortcount.StreamCounter
+with the SPLIT consolidation: bare 2-operand lax.sort units + scan-only RLE,
+see _consolidate_full_split) end-to-end via the difference method:
     T(m_big) - T(m_small) over identical fresh state, where each run ends
     with a final consolidation and one tiny cross-backend probe readback.
 Compile time and probe latency cancel in the difference.
 
 Orchestration: with no --phase argument this script is a thin stdlib-only
 parent that runs each measurement phase as a KILLABLE SUBPROCESS under a hard
-wall budget. This rig's remote compile service can hang indefinitely on large
-fused sort graphs (BENCH_NOTES.md "rig pathologies" #3), and an in-process
-SIGALRM cannot interrupt a native compile RPC -- a kill -9 from the parent
-can. Phase ladder (first phase to emit a JSON line wins):
-  1. primary, default geometry (buffer 2^22 keys, store 2^21 distinct)
-  2. primary, small geometry (2^20/2^20: ~3x fewer sort lanes)
-  3. primary, tiny geometry (2^19/2^19, batch 2048: 1M-lane sorts, the scale
-     this rig's compile service demonstrably handles in ~2 min cold)
-  4. extract+dedup chain (1M-lane kernels, compiles in ~2 min)
-  5. extraction-only chain
+wall budget (this rig's remote compile service can hang indefinitely on large
+fused graphs; a kill -9 from the parent is the only reliable interrupt). The
+first phase is a WARM pass that only compiles the primary-geometry kernels
+into the persistent cache (.jax_cache) so the measurement phase never pays a
+cold compile; partial stdout of killed phases is still parsed. Counting
+ladder (first phase to emit kmer_count_throughput wins):
+  1. primary, full geometry (buffer 2^23 keys, store 2^21 distinct)
+  2. primary, small geometry (2^20/2^20)
+  3. primary, tiny geometry (2^19/2^19, batch 2048)
+  4. extract+dedup chain / extraction-only chain
 All phases are DCE-proofed (full-tensor folds / final consolidation + a tiny
 cross-backend probe feed the timed chain).
 
 vs_baseline is anchored to EST_JAVA_RATE, an estimate of the reference's
 multithreaded JVM counting throughput (striped hash map insert hot loop,
-itmo:structures/map/Long2ShortHashMap.java addAndBound; ~40M canonical
-k-mers/s on a 32-core host). The reference publishes no numbers (BASELINE.md).
+itmo:structures/map/Long2ShortHashMap.java:119-157 addAndBound; ~40M
+canonical k-mers/s on a 32-core host). The reference publishes no numbers
+(BASELINE.md).
 """
 import json
 import os
@@ -47,11 +52,9 @@ M_BIG = int(os.environ.get("MC_BENCH_MBIG", "48"))
 # geometry ladder: (batch, buf_log2, store_log2, genome_cap). Each batch
 # appends batch*(LEN-K+1) keys, which must fit the append buffer.
 GEOMETRY = {
-    "default": (4096, 22, 21, None),    # 925696 keys/step, 6M-lane sorts
+    "default": (4096, 23, 21, None),    # 925696 keys/step, 10.5M-lane sort2
     "small":   (4096, 20, 20, 600000),  # 925696 keys/step, 2M-lane sorts
-    "tiny":    (2048, 19, 19, 400000),  # 462848 keys/step, 1M-lane sorts --
-                                        # the scale this rig's remote compile
-                                        # service handles in ~2 min cold
+    "tiny":    (2048, 19, 19, 400000),  # 462848 keys/step, 1M-lane sorts
 }
 
 
@@ -66,14 +69,31 @@ def log(msg: str) -> None:
 def parent() -> int:
     me = os.path.abspath(__file__)
     plan = [
+        # compile-warm pass: builds the persistent-cache entries for the full
+        # geometry; its own measurement output is ignored
+        (["--phase", "warm"],
+         int(os.environ.get("MC_BENCH_WARM_BUDGET", "580")), False),
         (["--phase", "primary"],
-         int(os.environ.get("MC_BENCH_BUDGET", "300"))),
-        (["--phase", "primary", "--geom", "small"], 480),
-        (["--phase", "primary", "--geom", "tiny"], 420),
-        (["--phase", "dedup"], 300),
-        (["--phase", "extract"], 240),
+         int(os.environ.get("MC_BENCH_BUDGET", "580")), True),
+        (["--phase", "primary", "--geom", "small"], 480, True),
+        (["--phase", "primary", "--geom", "tiny"], 420, True),
+        (["--phase", "dedup"], 300, True),
+        (["--phase", "extract"], 240, True),
     ]
-    for extra, budget in plan:
+    results: dict[str, dict] = {}
+
+    def collect(out: str) -> None:
+        for ln in (out or "").splitlines():
+            if ln.startswith("{"):
+                try:
+                    d = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue
+                results.setdefault(d.get("metric", "?"), d)
+
+    for extra, budget, is_primary in plan:
+        if is_primary and "kmer_count_throughput" in results:
+            break
         log(f"bench phase {' '.join(extra)} (budget {budget}s)")
         proc = subprocess.Popen([sys.executable, me] + extra,
                                 stdout=subprocess.PIPE, stderr=sys.stderr,
@@ -82,20 +102,37 @@ def parent() -> int:
             out, _ = proc.communicate(timeout=budget)
         except subprocess.TimeoutExpired:
             proc.kill()
-            proc.wait()
+            out, _ = proc.communicate()
             log("phase exceeded budget (hung remote compile?); killed")
             time.sleep(5)  # let the tunneled TPU client slot free up
-            continue
-        line = next((ln for ln in (out or "").splitlines()
-                     if ln.startswith("{")), None)
-        if proc.returncode == 0 and line:
-            print(line)
-            sys.stdout.flush()
-            return 0
-        log(f"phase failed (rc={proc.returncode})")
-    print(json.dumps({"metric": "kmer_count_throughput", "value": 0.0,
-                      "unit": "kmers/s/chip", "vs_baseline": 0.0,
-                      "error": "all phases failed"}))
+        collect(out)
+
+    # secondary metrics: BFS expansions/s + time-to-env (host C++ engine and
+    # on-chip device engine); failures leave the primary line intact
+    log("bench phase --phase bfs (budget 560s)")
+    proc = subprocess.Popen([sys.executable, me, "--phase", "bfs"],
+                            stdout=subprocess.PIPE, stderr=sys.stderr,
+                            text=True)
+    try:
+        out, _ = proc.communicate(timeout=560)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, _ = proc.communicate()
+        log("bfs phase exceeded budget; killed")
+    collect(out)
+
+    head = results.get("kmer_count_throughput")
+    if head is None:
+        head = {"metric": "kmer_count_throughput", "value": 0.0,
+                "unit": "kmers/s/chip", "vs_baseline": 0.0,
+                "error": "all phases failed"}
+    extra_metrics = {k: {kk: vv for kk, vv in v.items() if kk != "metric"}
+                     for k, v in results.items()
+                     if k != "kmer_count_throughput"}
+    if extra_metrics:
+        head["extra"] = extra_metrics
+    print(json.dumps(head))
+    sys.stdout.flush()
     return 0
 
 
@@ -113,12 +150,16 @@ def _emit(metric: str, rate: float) -> None:
     sys.stdout.flush()
 
 
-def phase_main(which: str, geom: str) -> None:
+def _setup_cache() -> None:
     # JAX_COMPILATION_CACHE_DIR is ignored under the tunneled-TPU plugin; the
     # package init applies MC_JAX_CACHE through jax.config.update, which works.
     os.environ.setdefault(
         "MC_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+
+def phase_main(which: str, geom: str) -> None:
+    _setup_cache()
     # Real device: do NOT force cpu (the session platform is the tunneled TPU).
     import numpy as np
     import metacherchant_tpu  # noqa: F401  (x64, cache config)
@@ -152,11 +193,11 @@ def phase_main(which: str, geom: str) -> None:
             for _ in range(n)
         ]
 
-    batches = make_batches(M_BIG)
-    log(f"{len(batches)} batches on device ({keys_per_step} keys/step, "
-        f"buf 2^{buf_log2}, store 2^{store_log2})")
+    if which in ("primary", "warm"):
+        batches = make_batches(2 if which == "warm" else M_BIG)
+        log(f"{len(batches)} batches on device ({keys_per_step} keys/step, "
+            f"buf 2^{buf_log2}, store 2^{store_log2})")
 
-    if which == "primary":
         def run_chain(m: int) -> float:
             sc = StreamCounter(buffer_cap_log2=buf_log2,
                                store_cap_log2=store_log2)
@@ -169,6 +210,10 @@ def phase_main(which: str, geom: str) -> None:
             log(f"count chain m={m}: {dt:.2f}s (probe={v}, live={sc._live})")
             return dt
 
+        if which == "warm":
+            run_chain(2)   # compiles append + all consolidation units
+            log("warm pass done (kernels cached)")
+            return
         run_chain(2)
         log("compile warm")
         t_small = run_chain(M_SMALL)
@@ -184,6 +229,9 @@ def phase_main(which: str, geom: str) -> None:
         log(f"count per-step {per_step * 1000:.1f}ms")
         _emit("kmer_count_throughput", keys_per_step / per_step)
         return
+
+    batches = make_batches(M_BIG)
+    log(f"{len(batches)} batches on device ({keys_per_step} keys/step)")
 
     def _fold(x, width=128):
         f = x.ravel().astype(jnp.int64)
@@ -221,9 +269,113 @@ def phase_main(which: str, geom: str) -> None:
     _emit(f"kmer_{which}_throughput", keys_per_step / per_step)
 
 
+# ---------------------------------------------------------------------------
+# BFS phase: BASELINE.md secondary metrics
+# ---------------------------------------------------------------------------
+
+def phase_bfs() -> None:
+    """time-to-env.txt + BFS expansions/s.
+
+    Host engine (native C++ FIFO, the CLI default): the wiki-example workload
+    -- golden graph.txt as the k-mer map (the reference's wgs reads are not
+    shipped), seed -> BFS -> extend -> graph.txt write, exactly the per-gene
+    calculator stage (src/algo/OneSequenceCalculator.java:98-114).
+
+    Device engine (ops/bfs_device.py, on-chip whole-BFS-in-one-dispatch): a
+    wide-frontier synthetic (2kb gene seeding ~2k simultaneous frontier
+    lanes over a 400kb genome path) -- the regime the device engine exists
+    for; the wiki graph is deep-narrow (93k layers x frontier <=31) where
+    the host FIFO is the right engine (BENCH_NOTES.md).
+    """
+    _setup_cache()
+    import numpy as np
+    import metacherchant_tpu  # noqa: F401
+
+    from metacherchant_tpu.kmer_map import KmerMap
+    from metacherchant_tpu.counting import seed_keys_of_sequence
+    from metacherchant_tpu.algo.environment import build_environment
+    from metacherchant_tpu.io.writers import load_graph_txt, write_graph_txt
+    from metacherchant_tpu.io.readers import read_rich_fasta
+
+    gold = "/root/reference/Hi-C_pipline/example_work_dir/output/1/merged"
+    gene_file = "/root/reference/Hi-C_pipline/example/seq.fasta"
+    k = 31
+
+    golden_env = load_graph_txt(os.path.join(gold, "graph.txt"))
+    keys = np.concatenate(
+        [seed_keys_of_sequence(s, k, None) for s in golden_env])
+    counts = np.array(list(golden_env.values()), np.int64)
+    kmap = KmerMap.from_pairs(keys, counts)
+    gene = read_rich_fasta(gene_file)[0].seq
+    log(f"bfs host workload: map {len(golden_env)} kmers")
+
+    def run_host():
+        t0 = time.perf_counter()
+        env = build_environment([gene], k, kmap, min_occ=5,
+                                both_directions=False, max_radius=100000,
+                                max_kmers=None, trim=False)
+        sub = env.as_dict()
+        write_graph_txt("/tmp/bench_bfs_graph.txt", sub)
+        return time.perf_counter() - t0, len(sub)
+
+    run_host()  # warm
+    runs = [run_host() for _ in range(3)]
+    dt = min(t for t, _ in runs)
+    n = runs[0][1]
+    log(f"host env: {n} kmers best {dt:.3f}s")
+    print(json.dumps({"metric": "time_to_env_txt_wiki_example",
+                      "value": round(dt, 3), "unit": "s",
+                      "engine": "host-native"}))
+    print(json.dumps({"metric": "bfs_node_expansions_per_s",
+                      "value": round(n / dt, 1), "unit": "expansions/s",
+                      "engine": "host-native", "workload": "wiki(deep-narrow)"}))
+    sys.stdout.flush()
+
+    # device engine on a wide-frontier synthetic
+    try:
+        from metacherchant_tpu.counting import count_sequences_host
+        from metacherchant_tpu.algo.environment import (
+            seed_codes_of_sequences)
+        from metacherchant_tpu.ops.bfs_device import bfs_device
+
+        rng = np.random.default_rng(0)
+        genome = "".join(np.array(list("ACGT"))[
+            rng.integers(0, 4, size=400_000)])
+        reads = [genome[i:i + 150]
+                 for i in range(0, len(genome) - 150, 50)]
+        dk = count_sequences_host(reads, k)
+        gene_syn = genome[200_000:202_000]
+        seeds = np.array(seed_codes_of_sequences([gene_syn], k, dk, 1),
+                         np.int64)
+        log(f"bfs device workload: map {len(dk)} kmers, "
+            f"{seeds.size} seeds")
+
+        def run_dev():
+            t0 = time.perf_counter()
+            visited = bfs_device(seeds, dk, k, 1, 0, None)
+            nn = int(visited.size)
+            return time.perf_counter() - t0, nn
+
+        run_dev()  # compile
+        dts = [run_dev() for _ in range(3)]
+        ddt = min(t for t, _ in dts)
+        nn = dts[0][1]
+        log(f"device env: {nn} kmers best {ddt:.3f}s")
+        print(json.dumps({"metric": "bfs_node_expansions_per_s_device",
+                          "value": round(nn / ddt, 1),
+                          "unit": "expansions/s", "engine": "device",
+                          "workload": "synthetic(wide-frontier)"}))
+        sys.stdout.flush()
+    except Exception as e:  # device engine failure must not mask host numbers
+        log(f"device bfs phase failed: {e!r}")
+
+
 def main() -> int:
     if "--phase" in sys.argv:
         which = sys.argv[sys.argv.index("--phase") + 1]
+        if which == "bfs":
+            phase_bfs()
+            return 0
         geom = (sys.argv[sys.argv.index("--geom") + 1]
                 if "--geom" in sys.argv else "default")
         phase_main(which, geom)

@@ -254,6 +254,41 @@ def trim_paths(visited: np.ndarray, last_kmers: np.ndarray, k: int,
     return reached
 
 
+def route_device_bfs(n_seeds: int, max_radius: int | None,
+                     max_kmers: int | None, trim: bool) -> bool:
+    """Engine routing: host FIFO (native C++ default) vs on-chip device BFS.
+
+    The device engine pays ~45ms dispatch + ~0.4ms per BFS layer on this
+    class of runtime (BENCH_NOTES.md while_loop costs), and is only exact
+    for radius-bounded termination (MAX_KMERS admission order and lastKmers
+    collection are inherently sequential, TerminationMode.java:38-39). Gene
+    environments are typically DEEP and NARROW (wiki example: 93k layers x
+    frontier <= 31) -- host FIFO territory. The device engine wins in the
+    WIDE-SHALLOW regime: many simultaneous seeds with a small radius cap
+    (e.g. recipient-visualiser's default maxradius=1000 over whole
+    metagenome sequence sets, RecipientVisualiser.java:65-68).
+
+    Policy (mirrors the FMT contraction auto-route, algo/fmt.py):
+      MC_DEVICE_BFS=1 forces the device engine (when semantics allow),
+      MC_DEVICE_BFS=0 forces host; otherwise auto-route to the device when
+      seeds >= MC_DEVICE_BFS_MIN_SEEDS (default 4096) and max_radius <=
+      MC_DEVICE_BFS_MAX_RADIUS (default 2000).
+    """
+    import os
+    if max_kmers is not None or trim:
+        return False  # order-dependent semantics: host FIFO only
+    flag = os.environ.get("MC_DEVICE_BFS")
+    if flag == "0":
+        return False
+    if flag:
+        return True
+    if max_radius is None:
+        return False
+    min_seeds = int(os.environ.get("MC_DEVICE_BFS_MIN_SEEDS", "4096"))
+    max_r = int(os.environ.get("MC_DEVICE_BFS_MAX_RADIUS", "2000"))
+    return n_seeds >= min_seeds and max_radius <= max_r
+
+
 @dataclass
 class Environment:
     """The computed environment: canonical (ASCII-lex orientation) codes + counts."""
@@ -306,9 +341,7 @@ def build_environment(sequences: list[str], k: int, kmap: KmerMap,
     dirs = [0] if both_directions else [-1, 1]
     visited_union = np.empty(0, np.int64)
     fail = True
-    import os
-    use_device = (os.environ.get("MC_DEVICE_BFS") and max_kmers is None
-                  and not trim)
+    use_device = route_device_bfs(len(seeds), max_radius, max_kmers, trim)
     device_table = None
     if use_device and seeds:
         # build the device table once; both direction passes probe it

@@ -111,9 +111,8 @@ def build_environment_hashed(sequences: list[str], k: int, kmap: KmerMap,
         occ = _occ_block(kmap, wins, hasher)
         seed_rows.extend(wins[occ >= min_occ])
     dirs = [0] if both_directions else [-1, 1]
-    import os
-    use_device = (os.environ.get("MC_DEVICE_BFS") and max_kmers is None
-                  and not trim)
+    from .environment import route_device_bfs
+    use_device = route_device_bfs(len(seed_rows), max_radius, max_kmers, trim)
     union: dict[bytes, np.ndarray] = {}
     fail = True
     for direction in dirs:

@@ -101,6 +101,74 @@ def _consolidate_kernel(store_keys, store_cnts, buf, offset):
     return keys, cnts, n_distinct, n_distinct > m
 
 
+# --- split consolidation: the same algorithm as _consolidate_full_kernel,
+# but each stage is its OWN jit unit. This rig's remote compile service hangs
+# (or gets OOM-killed) on large FUSED sort+scan+sort graphs (BENCH_NOTES rig
+# pathology #3: the fused kernel never compiled at >=6M lanes, and the
+# bitonic-merge consolidation of ops/mergecount.py hung at 2^23 lanes), while
+# a BARE two-operand lax.sort at 2^23 lanes compiles in ~5 min (cached
+# thereafter) and runs at ~29 ms (~291M lanes/s, scripts/profile_bare_sort.py).
+# Splitting keeps every compile unit at a size the service handles and XLA
+# does not lose meaningful fusion: the sorts dominate and cannot fuse with
+# their neighbors anyway.
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _prep_kernel(store_keys, store_cnts, buf, offset):
+    """Concat store + masked buffer into one (keys, weights) multiset."""
+    n = buf.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    buf = jnp.where(lane < offset, buf, SENTINEL)
+    all_keys = jnp.concatenate([store_keys, buf])
+    all_w = jnp.concatenate([store_cnts, jnp.ones((n,), jnp.int32)])
+    all_w = jnp.where(all_keys == SENTINEL, 0, all_w).astype(jnp.int64)
+    return all_keys, all_w
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _sort2_kernel(keys, w):
+    """Bare two-operand sort: keys ascending, weights carried along."""
+    return jax.lax.sort((keys, w), num_keys=1)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _rle_mark_kernel(s, w):
+    """Mark run lasts of a SORTED multiset with the run total; rekey the rest
+    to SENTINEL (weight 0). Scan + elementwise only -- no sort in this unit."""
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+
+    def seg_add(a, b):
+        af, asum = a
+        bf, bsum = b
+        return af | bf, jnp.where(bf, bsum, asum + bsum)
+
+    _, run_sum = jax.lax.associative_scan(seg_add, (first, w))
+    real = last & (s != SENTINEL)
+    key2 = jnp.where(real, s, SENTINEL)
+    sum2 = jnp.where(real, run_sum, 0)
+    return key2, sum2
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _rle_finish_kernel(keys_c, sums_c):
+    """Post-compaction cleanup: drop zero-weight lanes, clamp, count."""
+    keys_c = jnp.where(sums_c > 0, keys_c, SENTINEL)
+    sums_c = jnp.minimum(sums_c, 1_000_000_000)
+    cnts_c = jnp.where(keys_c == SENTINEL, 0, sums_c).astype(jnp.int32)
+    n_distinct = jnp.sum(keys_c != SENTINEL).astype(jnp.int32)
+    return keys_c, cnts_c, n_distinct
+
+
+def _consolidate_full_split(store_keys, store_cnts, buf, offset):
+    """_consolidate_full_kernel semantics via 5 small-jit dispatches:
+    prep -> sort2 -> rle_mark -> sort2 (compaction) -> finish."""
+    all_keys, all_w = _prep_kernel(store_keys, store_cnts, buf, offset)
+    s, w = _sort2_kernel(all_keys, all_w)
+    key2, sum2 = _rle_mark_kernel(s, w)
+    keys_c, sums_c = _sort2_kernel(key2, sum2)
+    return _rle_finish_kernel(keys_c, sums_c)
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def _consolidate_full_kernel(store_keys, store_cnts, buf, offset):
     """Merge buffer into store, keeping the FULL (m+n)-lane compacted result.
@@ -191,7 +259,7 @@ class StreamCounter:
         if self._offset_host == 0:
             return
         self._resolve()
-        self._pending = _consolidate_full_kernel(
+        self._pending = _consolidate_full_split(
             self.store_keys, self.store_cnts, self.buf, self.offset)
         self.buf = jnp.full((self.buffer_cap,), SENTINEL, jnp.int64)
         self.offset = jnp.int32(0)

@@ -56,20 +56,23 @@ def step_time(n_dev: int) -> float:
     ]
 
     def chain(m: int) -> float:
+        """Timed: the steady-state step loop only. The chain ends with ONE
+        device-side sync (block on the sharded table buffers); correctness
+        (items_host + oracle equality) is covered by tests/test_parallel.py,
+        and the final readback/drain is excluded so the difference method
+        cancels per-chain constants instead of amplifying them."""
         sc = ShardedCounter(mesh, K, None, capacity_log2_per_shard=16,
                             batch=batch, max_len=LEN,
                             overflow_buf=4096)
         t0 = time.perf_counter()
         for i in range(m):
             sc.add_codes(batches[i])
-        keys, counts = sc.items_host()   # forces completion
-        assert keys.size > 0
+        jax.block_until_ready((sc.tkeys, sc.tcnts))
         return time.perf_counter() - t0
 
     chain(2)  # warm
-    t_small = chain(M_SMALL)
-    t_big = chain(M_BIG)
-    return max(t_big - t_small, 1e-9) / (M_BIG - M_SMALL)
+    reps = [(chain(M_SMALL), chain(M_BIG)) for _ in range(3)]
+    return min(max(tb - ts, 1e-9) / (M_BIG - M_SMALL) for ts, tb in reps)
 
 
 def main() -> None:
