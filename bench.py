@@ -68,11 +68,41 @@ def log(msg: str) -> None:
 
 def parent() -> int:
     me = os.path.abspath(__file__)
+    cache_dir = os.path.join(os.path.dirname(me), ".jax_cache")
+
+    def cache_entries() -> int:
+        try:
+            return len(os.listdir(cache_dir))
+        except OSError:
+            return 0
+
+    # Compile-warm passes: build the persistent-cache entries for the full
+    # geometry. A single cold pass can exceed any sane budget on this rig
+    # (5+ min per large kernel), but the cache accumulates across killed
+    # attempts -- so retry while the entry count still grows.
+    warm_budget = int(os.environ.get("MC_BENCH_WARM_BUDGET", "580"))
+    for attempt in range(int(os.environ.get("MC_BENCH_WARM_ATTEMPTS", "3"))):
+        before = cache_entries()
+        log(f"bench phase --phase warm [attempt {attempt + 1}] "
+            f"(budget {warm_budget}s, cache {before} entries)")
+        proc = subprocess.Popen([sys.executable, me, "--phase", "warm"],
+                                stdout=subprocess.PIPE, stderr=sys.stderr,
+                                text=True)
+        try:
+            out, _ = proc.communicate(timeout=warm_budget)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, _ = proc.communicate()
+            log("warm attempt killed at budget")
+            time.sleep(5)
+        if "warm pass done" in (out or ""):
+            log("warm complete")
+            break
+        if cache_entries() <= before:
+            log("warm made no cache progress; moving on")
+            break
+
     plan = [
-        # compile-warm pass: builds the persistent-cache entries for the full
-        # geometry; its own measurement output is ignored
-        (["--phase", "warm"],
-         int(os.environ.get("MC_BENCH_WARM_BUDGET", "580")), False),
         (["--phase", "primary"],
          int(os.environ.get("MC_BENCH_BUDGET", "580")), True),
         (["--phase", "primary", "--geom", "small"], 480, True),
@@ -336,7 +366,7 @@ def phase_bfs() -> None:
         from metacherchant_tpu.counting import count_sequences_host
         from metacherchant_tpu.algo.environment import (
             seed_codes_of_sequences)
-        from metacherchant_tpu.ops.bfs_device import bfs_device
+        from metacherchant_tpu.ops.bfs_device import run_device_bfs
 
         rng = np.random.default_rng(0)
         genome = "".join(np.array(list("ACGT"))[
@@ -352,7 +382,7 @@ def phase_bfs() -> None:
 
         def run_dev():
             t0 = time.perf_counter()
-            visited = bfs_device(seeds, dk, k, 1, 0, None)
+            visited = run_device_bfs(seeds, dk, k, 1, 0, None)
             nn = int(visited.size)
             return time.perf_counter() - t0, nn
 

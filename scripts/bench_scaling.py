@@ -1,29 +1,48 @@
-"""Weak-scaling harness for sharded multi-chip counting (SURVEY §6 target:
->=80% weak-scaling efficiency on counting at 2+ hosts).
+"""Scaling harness for the sharded multi-chip engines (counting + BFS).
 
-Methodology (runs anywhere; meaningful NUMBERS require a real multi-chip
-slice, which this rig does not have -- on the virtual CPU mesh the harness
-validates the measurement path and the sharded engine's exactness):
+BASELINE.md's scaling target (>=80% weak-scaling efficiency on counting at
+2+ hosts) is a real-hardware number. This rig has ONE tunneled TPU chip and a
+2-core host, so a virtual 8-device CPU mesh oversubscribes the host 4:1 and
+per-device-fixed "weak scaling" cannot hold step time constant even for a
+perfect engine (total work grows with n on fixed silicon; XLA CPU intra-op
+threading already saturates both cores at mesh=1).
 
-- Fix per-device work: each device contributes B reads per step (total batch
-  = B * n_devices), so a perfectly scaling engine holds time/step constant
-  as the mesh grows (weak scaling).
-- For each mesh size n in {1, 2, 4, 8}: run the ShardedCounter
-  (DP reads x hash-sharded table, all_to_all key routing,
-  parallel/sharded_count.py) for M steps, difference-method timed
-  (T(M_big) - T(M_small)) to cancel compile + readback.
-- efficiency(n) = t_step(1) / t_step(n). Report per-mesh step time,
-  total keys/s, and efficiency.
+What this rig CAN measure honestly, and what this script reports:
+
+1. protocol overhead (headline, `sharded_count_protocol_overhead`):
+   FIXED total work, mesh n in {1,2,4,8}. Ideal engine: constant wall time
+   (same host capacity). efficiency(n) = t(1)/t(n) isolates the cost of the
+   sharding machinery itself -- per-shard dedup, owner bucketing, all_to_all,
+   fragmented table inserts -- which is exactly the part that software can
+   ruin; the remaining real-hardware scaling term (ICI all_to_all bandwidth)
+   is not emulatable here.
+2. per-device-fixed step times (`sharded_count_weak_scaling`): raw t_step(n)
+   with per-device work fixed, plus host_work_normalized_efficiency
+   n*t(1)/t(n) (the oversubscription-corrected reading, assuming mesh=1
+   saturates the host). Reported for completeness; on real multi-host
+   hardware the same script (minus MC_PLATFORM=cpu) measures true weak
+   scaling because each device is real silicon.
+3. the same two for sharded frontier-exchange BFS
+   (`sharded_bfs_protocol_overhead`).
+
+Methodology details (all modes):
+- tables pre-sized so NO growth/sync event fires inside a timed chain
+  (growth is a rare amortized event, not steady state)
+- device batches pre-staged onto the mesh before t0 (host packing is a
+  per-host cost; on a virtual mesh it would serially charge one host with
+  all n devices' packing)
+- median of R reps of each chain length; difference method
+  (T(M_big)-T(M_small)) cancels residual constants
 
 Usage:
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  MC_PLATFORM=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python scripts/bench_scaling.py
-On a real pod slice, drop the env overrides; the same script measures ICI
-all_to_all scaling (per-host file sharding is exercised separately via
-parallel/distributed.py).
+(MC_PLATFORM, not JAX_PLATFORMS: the session's axon TPU plugin ignores the
+env var; the package init routes MC_PLATFORM through jax.config, which wins.)
 """
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,62 +52,124 @@ import numpy as np
 
 import metacherchant_tpu  # noqa: F401
 import jax
+import jax.numpy as jnp
 
 from metacherchant_tpu.parallel.sharded_count import ShardedCounter, make_mesh
 
 K = 31
 PER_DEV_BATCH = int(os.environ.get("MC_SCALE_BATCH", "256"))
+TOTAL_BATCH = int(os.environ.get("MC_SCALE_TOTAL", "2048"))
 LEN = int(os.environ.get("MC_SCALE_LEN", "128"))
 M_SMALL, M_BIG = 4, 12
+REPS = int(os.environ.get("MC_SCALE_REPS", "5"))
+CAP_LOG2 = int(os.environ.get("MC_SCALE_CAP", "19"))  # no growth mid-chain
 
 
-def step_time(n_dev: int) -> float:
-    devices = jax.devices()[:n_dev]
-    mesh = make_mesh(devices)
-    batch = PER_DEV_BATCH * n_dev
+def _batches(batch: int, m: int) -> list[np.ndarray]:
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, size=200000).astype(np.int8)
     win = np.arange(LEN)
-    batches = [
+    return [
         genome[rng.integers(0, genome.size - LEN, size=batch)[:, None]
                + win[None, :]].astype(np.int32)
-        for _ in range(M_BIG)
+        for _ in range(m)
     ]
 
+
+def count_step_time(n_dev: int, batch: int) -> float:
+    """Median steady-state step time of the sharded counting step at mesh
+    n_dev with `batch` total reads/step (batch must divide by n_dev)."""
+    mesh = make_mesh(jax.devices()[:n_dev])
+    raw = _batches(batch, M_BIG)
+
     def chain(m: int) -> float:
-        """Timed: the steady-state step loop only. The chain ends with ONE
-        device-side sync (block on the sharded table buffers); correctness
-        (items_host + oracle equality) is covered by tests/test_parallel.py,
-        and the final readback/drain is excluded so the difference method
-        cancels per-chain constants instead of amplifying them."""
-        sc = ShardedCounter(mesh, K, None, capacity_log2_per_shard=16,
-                            batch=batch, max_len=LEN,
-                            overflow_buf=4096)
+        sc = ShardedCounter(mesh, K, None,
+                            capacity_log2_per_shard=CAP_LOG2,
+                            batch=batch, max_len=LEN, overflow_buf=4096)
+        staged = [jax.device_put(jnp.asarray(b), sc.batch_sharding)
+                  for b in raw[:m]]
+        jax.block_until_ready(staged)
         t0 = time.perf_counter()
-        for i in range(m):
-            sc.add_codes(batches[i])
+        for d in staged:
+            (sc.tkeys, sc.tcnts, sc.ov_keys, sc.ov_cnts,
+             new, tf, cf) = sc.step(
+                sc.tkeys, sc.tcnts, sc.ov_keys, sc.ov_cnts, d)
         jax.block_until_ready((sc.tkeys, sc.tcnts))
         return time.perf_counter() - t0
 
-    chain(2)  # warm
-    reps = [(chain(M_SMALL), chain(M_BIG)) for _ in range(3)]
-    return min(max(tb - ts, 1e-9) / (M_BIG - M_SMALL) for ts, tb in reps)
+    chain(2)  # compile warm
+    ts = statistics.median(chain(M_SMALL) for _ in range(REPS))
+    tb = statistics.median(chain(M_BIG) for _ in range(REPS))
+    return max(tb - ts, 1e-9) / (M_BIG - M_SMALL)
+
+
+def bfs_step_time(n_dev: int) -> float:
+    """Median per-layer time of the sharded frontier-exchange BFS on a fixed
+    linear-genome graph (fixed total work across mesh sizes)."""
+    from metacherchant_tpu.kmer_map import KmerMap
+    from metacherchant_tpu.counting import count_sequences_host
+    from metacherchant_tpu.parallel.sharded_bfs import run_sharded_bfs
+
+    mesh = make_mesh(jax.devices()[:n_dev])
+    rng = np.random.default_rng(1)
+    genome = "".join(np.array(list("ACGT"))[rng.integers(0, 4, size=60000)])
+    kmap = count_sequences_host([genome], K)
+    seeds = kmap.keys[:: max(len(kmap) // 256, 1)][:256].copy()
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        visited = run_sharded_bfs(seeds, kmap, K, 1, 0, 40, mesh)
+        jax.block_until_ready(visited) if hasattr(visited, "block_until_ready") \
+            else None
+        return time.perf_counter() - t0
+
+    run()  # compile warm
+    return statistics.median(run() for _ in range(REPS))
 
 
 def main() -> None:
     avail = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8) if n <= avail]
-    print(f"devices available: {avail}; meshes: {sizes}", file=sys.stderr)
+    print(f"devices available: {avail}; host cores: {os.cpu_count()}; "
+          f"meshes: {sizes}", file=sys.stderr)
+
+    # 1. protocol overhead: fixed total work
     t1 = None
     for n in sizes:
-        t = step_time(n)
+        t = count_step_time(n, TOTAL_BATCH)
         t1 = t if t1 is None else t1
-        keys_per_step = PER_DEV_BATCH * n * (LEN - K + 1)
+        print(json.dumps({
+            "metric": "sharded_count_protocol_overhead",
+            "mesh": n, "total_reads_per_step": TOTAL_BATCH,
+            "step_ms": round(t * 1000, 1),
+            "keys_per_s": round(TOTAL_BATCH * (LEN - K + 1) / t, 1),
+            "efficiency_vs_1dev": round(t1 / t, 3),
+        }))
+        sys.stdout.flush()
+
+    # 2. per-device-fixed (classic weak scaling; see module docstring for
+    # why host_work_normalized is the honest reading on this rig)
+    t1 = None
+    for n in sizes:
+        t = count_step_time(n, PER_DEV_BATCH * n)
+        t1 = t if t1 is None else t1
         print(json.dumps({
             "metric": "sharded_count_weak_scaling",
-            "mesh": n,
+            "mesh": n, "reads_per_dev_per_step": PER_DEV_BATCH,
             "step_ms": round(t * 1000, 1),
-            "keys_per_s": round(keys_per_step / t, 1),
+            "keys_per_s": round(PER_DEV_BATCH * n * (LEN - K + 1) / t, 1),
+            "host_work_normalized_efficiency": round(n * t1 / t, 3),
+        }))
+        sys.stdout.flush()
+
+    # 3. sharded BFS protocol overhead (fixed graph + seeds)
+    t1 = None
+    for n in sizes:
+        t = bfs_step_time(n)
+        t1 = t if t1 is None else t1
+        print(json.dumps({
+            "metric": "sharded_bfs_protocol_overhead",
+            "mesh": n, "wall_s": round(t, 3),
             "efficiency_vs_1dev": round(t1 / t, 3),
         }))
         sys.stdout.flush()
