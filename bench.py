@@ -49,12 +49,17 @@ GENOME = int(os.environ.get("MC_BENCH_GENOME", "1500000"))
 M_SMALL = int(os.environ.get("MC_BENCH_MSMALL", "16"))
 M_BIG = int(os.environ.get("MC_BENCH_MBIG", "48"))
 
-# geometry ladder: (batch, buf_log2, store_log2, genome_cap). Each batch
-# appends batch*(LEN-K+1) keys, which must fit the append buffer.
+# geometry ladder: (batch, buffer_lanes, store_lanes, genome_cap). Each batch
+# appends batch*(LEN-K+1) keys, which must fit the append buffer. The big
+# sort2 operates on buffer+store lanes; keep that total at an exact power of
+# two and the weights int32 -- the (int64, int32) sort2 at 2^23 lanes is the
+# largest shape this rig's compile service has been seen to finish
+# (profile_bare_sort.py; the 10.5M-lane int64-weight variant never compiled
+# across ~55 min of cumulative attempts).
 GEOMETRY = {
-    "default": (4096, 23, 21, None),    # 925696 keys/step, 10.5M-lane sort2
-    "small":   (4096, 20, 20, 600000),  # 925696 keys/step, 2M-lane sorts
-    "tiny":    (2048, 19, 19, 400000),  # 462848 keys/step, 1M-lane sorts
+    "default": (4096, (1 << 23) - (1 << 21), 1 << 21, None),  # sort2 = 2^23
+    "small":   (4096, 1 << 20, 1 << 20, 600000),              # sort2 = 2^21
+    "tiny":    (2048, 1 << 19, 1 << 19, 400000),              # sort2 = 2^20
 }
 
 
@@ -202,8 +207,8 @@ def phase_main(which: str, geom: str) -> None:
     g_batch, g_buf, g_store, g_cap = GEOMETRY[geom]
     batch = int(os.environ.get("MC_BENCH_BATCH", str(g_batch)))
     keys_per_step = batch * (LEN - K + 1)
-    buf_log2 = int(os.environ.get("MC_BENCH_BUF", str(g_buf)))
-    store_log2 = int(os.environ.get("MC_BENCH_STORE", str(g_store)))
+    buf_lanes = int(os.environ.get("MC_BENCH_BUF_LANES", str(g_buf)))
+    store_lanes = int(os.environ.get("MC_BENCH_STORE_LANES", str(g_store)))
     genome = GENOME if g_cap is None else min(GENOME, g_cap)
 
     probe_fn = jax.jit(
@@ -226,11 +231,11 @@ def phase_main(which: str, geom: str) -> None:
     if which in ("primary", "warm"):
         batches = make_batches(2 if which == "warm" else M_BIG)
         log(f"{len(batches)} batches on device ({keys_per_step} keys/step, "
-            f"buf 2^{buf_log2}, store 2^{store_log2})")
+            f"buf {buf_lanes} lanes, store {store_lanes}, "
+            f"sort2 {buf_lanes + store_lanes})")
 
         def run_chain(m: int) -> float:
-            sc = StreamCounter(buffer_cap_log2=buf_log2,
-                               store_cap_log2=store_log2)
+            sc = StreamCounter(buffer_cap=buf_lanes, store_cap=store_lanes)
             t0 = time.perf_counter()
             for i in range(m):
                 sc.add_codes(batches[i], K, None)

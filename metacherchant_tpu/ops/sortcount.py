@@ -114,13 +114,18 @@ def _consolidate_kernel(store_keys, store_cnts, buf, offset):
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def _prep_kernel(store_keys, store_cnts, buf, offset):
-    """Concat store + masked buffer into one (keys, weights) multiset."""
+    """Concat store + masked buffer into one (keys, weights) multiset.
+
+    Weights stay int32: store counts are clamped at 1e9 by _rle_finish_kernel,
+    so a single run's segmented sum is bounded by 1e9 + buffer lanes < 2^31.
+    (This also keeps the big sort2 at the (int64, int32) operand pair that is
+    proven to compile on this rig -- scripts/profile_bare_sort.py 'pairs'.)"""
     n = buf.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     buf = jnp.where(lane < offset, buf, SENTINEL)
     all_keys = jnp.concatenate([store_keys, buf])
     all_w = jnp.concatenate([store_cnts, jnp.ones((n,), jnp.int32)])
-    all_w = jnp.where(all_keys == SENTINEL, 0, all_w).astype(jnp.int64)
+    all_w = jnp.where(all_keys == SENTINEL, 0, all_w)
     return all_keys, all_w
 
 
@@ -215,9 +220,13 @@ class StreamCounter:
     and no worst-case pre-growth happens.
     """
 
-    def __init__(self, buffer_cap_log2: int = 24, store_cap_log2: int = 22):
-        self.buffer_cap = 1 << buffer_cap_log2
-        self.store_cap = 1 << store_cap_log2
+    def __init__(self, buffer_cap_log2: int = 24, store_cap_log2: int = 22,
+                 buffer_cap: int | None = None, store_cap: int | None = None):
+        # raw lane counts override the log2 forms: the big sort2 operates on
+        # buffer_cap + store_cap lanes, and rigs with fragile compile services
+        # may only handle specific totals (e.g. exactly 2^23) -- see bench.py
+        self.buffer_cap = buffer_cap if buffer_cap else (1 << buffer_cap_log2)
+        self.store_cap = store_cap if store_cap else (1 << store_cap_log2)
         self.buf = jnp.full((self.buffer_cap,), SENTINEL, jnp.int64)
         self.offset = jnp.int32(0)
         self._offset_host = 0
