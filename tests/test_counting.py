@@ -165,3 +165,46 @@ def test_rle_sorted_weighted_oracle():
     live = ks[ks != SENTINEL]
     assert np.all(np.diff(live) > 0)
     assert np.all(ks[len(live):] == SENTINEL)
+
+
+def test_stream_counter_raw_caps_equal_oracle():
+    """StreamCounter with raw (non-power-of-two) buffer_cap and repeated
+    consolidations (buffer much smaller than the stream) matches the host
+    oracle -- the bench's full-geometry configuration path."""
+    import jax.numpy as jnp
+    from metacherchant_tpu.ops.sortcount import StreamCounter
+    from metacherchant_tpu.kmer_map import KmerMap
+
+    rng = np.random.default_rng(5)
+    k = 21
+    reads = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(96)]
+    codes = np.full((96, 60), -1, np.int32)
+    lut = {c: i for i, c in enumerate("AGCT")}
+    for i, r in enumerate(reads):
+        codes[i] = [lut[c] for c in r]
+
+    sc = StreamCounter(buffer_cap=1500, store_cap=512)  # non-pow2 buffer
+    for i in range(0, 96, 8):  # 8*60=480 lanes/batch < 1500 -> consolidates
+        sc.add_codes(jnp.asarray(codes[i:i + 8]), k, None)
+    keys, cnts = sc.finalize()
+    got = KmerMap(keys, cnts)
+    want = count_sequences_host(reads, k)
+    assert np.array_equal(got.keys, want.keys)
+    assert np.array_equal(got.counts, want.counts)
+
+
+def test_stream_counter_count_saturation_int32_weights():
+    """Counts accumulate across consolidations without int32 overflow and
+    clamp at 32767 on finalize (itmo:utils/NumUtils.java:21-26)."""
+    import jax.numpy as jnp
+    from metacherchant_tpu.ops.sortcount import StreamCounter
+
+    k = 21
+    one = "A" * 40  # poly-A: every window is the same canonical kmer
+    codes = np.zeros((16, 40), np.int32)
+    sc = StreamCounter(buffer_cap=1024, store_cap=256)
+    for _ in range(40):  # 40*16*20 = 12800 occurrences of one kmer
+        sc.add_codes(jnp.asarray(codes), k, None)
+    keys, cnts = sc.finalize()
+    assert keys.size == 1
+    assert cnts[0] == 12800
