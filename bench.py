@@ -52,14 +52,15 @@ M_BIG = int(os.environ.get("MC_BENCH_MBIG", "48"))
 # geometry ladder: (batch, buffer_lanes, store_lanes, genome_cap). Each batch
 # appends batch*(LEN-K+1) keys, which must fit the append buffer. The big
 # sort2 operates on buffer+store lanes; keep that total at an exact power of
-# two and the weights int32 -- the (int64, int32) sort2 at 2^23 lanes is the
-# largest shape this rig's compile service has been seen to finish
-# (profile_bare_sort.py; the 10.5M-lane int64-weight variant never compiled
-# across ~55 min of cumulative attempts).
+# two and the weights int32. Compile-service ceiling (measured): the
+# (int64, int32) sort2 compiles at 2^22 lanes; 2^23 lanes never finished
+# (20+ min uncontended), nor did the 10.5M-lane int64-weight variant
+# (~55 min cumulative). 2^22 is therefore the top rung: consolidation
+# amortizes over 2 batches (925696 keys each) per 4.2M-lane sort pair.
 GEOMETRY = {
-    "default": (4096, (1 << 23) - (1 << 21), 1 << 21, None),  # sort2 = 2^23
-    "small":   (4096, 1 << 20, 1 << 20, 600000),              # sort2 = 2^21
-    "tiny":    (2048, 1 << 19, 1 << 19, 400000),              # sort2 = 2^20
+    "default": (4096, 1 << 21, 1 << 21, None),    # sort2 = 2^22
+    "small":   (4096, 1 << 20, 1 << 20, 600000),  # sort2 = 2^21
+    "tiny":    (2048, 1 << 19, 1 << 19, 400000),  # sort2 = 2^20
 }
 
 

@@ -116,16 +116,16 @@ def _consolidate_kernel(store_keys, store_cnts, buf, offset):
 def _prep_kernel(store_keys, store_cnts, buf, offset):
     """Concat store + masked buffer into one (keys, weights) multiset.
 
-    Weights stay int32: store counts are clamped at 1e9 by _rle_finish_kernel,
-    so a single run's segmented sum is bounded by 1e9 + buffer lanes < 2^31.
-    (This also keeps the big sort2 at the (int64, int32) operand pair that is
-    proven to compile on this rig -- scripts/profile_bare_sort.py 'pairs'.)"""
+    Weights are int64 deliberately: the sort2-path units below the lane
+    ceiling are long-cached on this rig in their int64 form, and recompiling
+    the (flag, sum) RLE scan costs >10 min per shape. (The merge-split path
+    carries its own int32 weights and int64 prefix sums instead.)"""
     n = buf.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     buf = jnp.where(lane < offset, buf, SENTINEL)
     all_keys = jnp.concatenate([store_keys, buf])
     all_w = jnp.concatenate([store_cnts, jnp.ones((n,), jnp.int32)])
-    all_w = jnp.where(all_keys == SENTINEL, 0, all_w)
+    all_w = jnp.where(all_keys == SENTINEL, 0, all_w).astype(jnp.int64)
     return all_keys, all_w
 
 
@@ -174,6 +174,145 @@ def _consolidate_full_split(store_keys, store_cnts, buf, offset):
     return _rle_finish_kernel(keys_c, sums_c)
 
 
+# --- merge-split consolidation: no full-width sort, no segmented scan.
+#
+# The split pipeline above still pays two TRUE sorts over buffer+store lanes
+# and one custom-semigroup associative scan; on this rig the 2-operand sort
+# stops compiling above 2^21 lanes and the (flag, sum) scan takes >10 min to
+# compile per shape, capping geometry (and therefore amortization).  This
+# pipeline exploits that the STORE IS ALREADY SORTED, so the only true sort
+# needed is of the buffer alone (<= 2^21 lanes, keys only); everything wider
+# is built from units measured compile-safe and fast at >= 2^22 lanes
+# (scripts/profile_units.py, /tmp probes round 3):
+#
+#   buffer sort (1-op lax.sort @ store lanes)          ~3-4 ms
+#   bitonic half-clean merge stages, grouped 4/jit     0.45 ms/stage @2^22
+#   plain jnp.cumsum (int64)                           4.7 ms @2^22, 17s compile
+#   shift-compaction stages, grouped 4/jit             elementwise
+#
+# Run totals WITHOUT a segmented scan: take the plain inclusive cumsum of
+# weights over the merged sorted multiset; at each run-LAST lane the cumsum
+# equals the total weight through that run; after compacting the run-lasts
+# (order-preserving), each run's count is the adjacent difference of
+# compacted cumsum values.  SENTINEL lanes carry weight 0, so they never
+# perturb the prefix sums.
+
+@functools.partial(jax.jit, static_argnames=("pad",), donate_argnums=(2,))
+def _merge_prep_kernel(store_keys, store_cnts, sorted_buf, pad: int):
+    """Bitonic pre-arrangement: store ascending ++ reversed sorted buffer.
+
+    Store counts clamp at 1e9 (as everywhere); buffer lanes weigh 1
+    (SENTINEL 0). `pad` SENTINEL lanes extend the buffer side so the total
+    is a power of two (SENTINEL = int64 max: the ascending/plateau/descending
+    shape stays bitonic)."""
+    sw = jnp.where(store_keys == SENTINEL, 0,
+                   jnp.minimum(store_cnts, 1_000_000_000)).astype(jnp.int32)
+    bw = jnp.where(sorted_buf == SENTINEL, 0, 1).astype(jnp.int32)
+    if pad:
+        sorted_buf = jnp.concatenate(
+            [sorted_buf, jnp.full((pad,), SENTINEL, jnp.int64)])
+        bw = jnp.concatenate([bw, jnp.zeros((pad,), jnp.int32)])
+    keys = jnp.concatenate([store_keys, sorted_buf[::-1]])
+    w = jnp.concatenate([sw, bw[::-1]])
+    return keys, w
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _sort_keys_kernel(buf, offset):
+    """Mask un-appended tail and sort keys ascending (1-operand sort)."""
+    n = buf.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    return jax.lax.sort(jnp.where(lane < offset, buf, SENTINEL))
+
+
+@functools.partial(jax.jit, static_argnames=("s0", "g"), donate_argnums=(0, 1))
+def _halfclean_group_kernel(keys, w, s0: int, g: int):
+    """g bitonic half-cleaner stages (strides s0, s0/2, ...) in one unit."""
+    from .bitonic import _half_clean
+    s = s0
+    for _ in range(g):
+        if s < 1:
+            break
+        keys, (w,) = _half_clean(keys, [w], s)
+        s //= 2
+    return keys, w
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _prefix_mark_kernel(keys, w):
+    """Inclusive int64 cumsum of weights; keep run-lasts only:
+    (key, cumsum) at run-last lanes, (SENTINEL, 0) elsewhere."""
+    pc = jnp.cumsum(w.astype(jnp.int64))
+    last = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), bool)])
+    real = last & (keys != SENTINEL)
+    key2 = jnp.where(real, keys, SENTINEL)
+    pref2 = jnp.where(real, pc, 0)
+    # monotone displacement for the shift compaction (# holes before lane)
+    holes = (~real).astype(jnp.int32)
+    d = jnp.cumsum(holes) - holes  # exclusive prefix
+    d = jnp.where(real, d, 0)
+    return key2, pref2, d
+
+
+@functools.partial(jax.jit, static_argnames=("j0", "g"),
+                   donate_argnums=(0, 1, 2))
+def _shift_group_kernel(keys, vals, d, j0: int, g: int):
+    """g binary-decomposed left-shift compaction stages (bits j0..j0+g-1).
+
+    Same scheme as bitonic.compact_sorted: element at lane i with bit j set
+    in its displacement moves left by 2^j; monotone displacement keeps every
+    intermediate position distinct, so shifted selects are exact."""
+    n = keys.shape[0]
+    for j in range(j0, j0 + g):
+        s = 1 << j
+        if s >= n:
+            break
+        moving = ((d >> j) & 1) == 1
+        arr_k = jnp.concatenate(
+            [keys[s:], jnp.full((s,), SENTINEL, keys.dtype)])
+        arr_v = jnp.concatenate([vals[s:], jnp.zeros((s,), vals.dtype)])
+        arr_d = jnp.concatenate([d[s:], jnp.zeros((s,), jnp.int32)])
+        arrives = jnp.concatenate([moving[s:], jnp.zeros((s,), bool)])
+        keys = jnp.where(arrives, arr_k, jnp.where(moving, SENTINEL, keys))
+        vals = jnp.where(arrives, arr_v, jnp.where(moving, 0, vals))
+        d = jnp.where(arrives, arr_d, jnp.where(moving, 0, d))
+    return keys, vals, d
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _diff_finish_kernel(keys_c, pref_c):
+    """Counts from adjacent differences of compacted cumulative sums."""
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int64), pref_c[:-1]])
+    cnts = jnp.where(keys_c == SENTINEL, 0, pref_c - prev)
+    cnts = jnp.minimum(cnts, 1_000_000_000).astype(jnp.int32)
+    n_distinct = jnp.sum(keys_c != SENTINEL).astype(jnp.int32)
+    return keys_c, cnts, n_distinct
+
+
+def _consolidate_merge_split(store_keys, store_cnts, buf, offset, group=4):
+    """Merge-split consolidation (see block comment above).
+
+    Total lanes are padded up to a power of two on the buffer side. Returns
+    (keys, cnts, n_distinct) at full merged length, distinct keys sorted at
+    the front -- the same full-result contract as _consolidate_full_split."""
+    raw = store_keys.shape[0] + buf.shape[0]
+    n = 1 << (raw - 1).bit_length()
+    sorted_buf = _sort_keys_kernel(buf, offset)
+    keys, w = _merge_prep_kernel(store_keys, store_cnts, sorted_buf, n - raw)
+    s0 = n // 2
+    while s0 >= 1:
+        g = min(group, s0.bit_length())
+        keys, w = _halfclean_group_kernel(keys, w, s0, g)
+        s0 >>= g
+    keys, pref, d = _prefix_mark_kernel(keys, w)
+    j = 0
+    while (1 << j) < n:
+        g = min(group, n.bit_length() - 1 - j)
+        keys, pref, d = _shift_group_kernel(keys, pref, d, j, g)
+        j += g
+    return _diff_finish_kernel(keys, pref)
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def _consolidate_full_kernel(store_keys, store_cnts, buf, offset):
     """Merge buffer into store, keeping the FULL (m+n)-lane compacted result.
@@ -220,13 +359,22 @@ class StreamCounter:
     and no worst-case pre-growth happens.
     """
 
+    #: largest 2-operand lax.sort this rig's compile service finishes
+    #: (scripts/profile_units.py: 2^21 compiles in ~45 s, 2^22 never)
+    SORT2_LANE_CEILING = 1 << 21
+
     def __init__(self, buffer_cap_log2: int = 24, store_cap_log2: int = 22,
-                 buffer_cap: int | None = None, store_cap: int | None = None):
-        # raw lane counts override the log2 forms: the big sort2 operates on
-        # buffer_cap + store_cap lanes, and rigs with fragile compile services
-        # may only handle specific totals (e.g. exactly 2^23) -- see bench.py
+                 buffer_cap: int | None = None, store_cap: int | None = None,
+                 mode: str = "auto"):
+        # raw lane counts override the log2 forms: consolidation cost scales
+        # with buffer_cap + store_cap lanes -- see bench.py GEOMETRY
         self.buffer_cap = buffer_cap if buffer_cap else (1 << buffer_cap_log2)
         self.store_cap = store_cap if store_cap else (1 << store_cap_log2)
+        # mode: 'sort2' = two full-width sorts (fewest dispatches; only
+        # compiles up to SORT2_LANE_CEILING total lanes), 'merge' = buffer-only
+        # sort + bitonic/cumsum/shift split units (any width), 'auto' = merge
+        # iff the total exceeds the sort2 ceiling
+        self.mode = mode
         self.buf = jnp.full((self.buffer_cap,), SENTINEL, jnp.int64)
         self.offset = jnp.int32(0)
         self._offset_host = 0
@@ -268,8 +416,15 @@ class StreamCounter:
         if self._offset_host == 0:
             return
         self._resolve()
-        self._pending = _consolidate_full_split(
+        total = self.store_keys.shape[0] + self.buf.shape[0]
+        use_merge = (self.mode == "merge"
+                     or (self.mode == "auto"
+                         and total > self.SORT2_LANE_CEILING))
+        fn = _consolidate_merge_split if use_merge else _consolidate_full_split
+        self._pending = fn(
             self.store_keys, self.store_cnts, self.buf, self.offset)
+        # keep buffer >= store so merge-mode padding stays bounded after growth
+        self.buffer_cap = max(self.buffer_cap, self.store_cap)
         self.buf = jnp.full((self.buffer_cap,), SENTINEL, jnp.int64)
         self.offset = jnp.int32(0)
         self._offset_host = 0

@@ -208,3 +208,56 @@ def test_stream_counter_count_saturation_int32_weights():
     keys, cnts = sc.finalize()
     assert keys.size == 1
     assert cnts[0] == 12800
+
+
+@pytest.mark.parametrize("bufcap,storecap", [
+    (1024, 1024),   # power-of-two total (no padding)
+    (1500, 700),    # non-pow2 total -> buffer-side SENTINEL padding
+    (600, 2048),    # store larger than buffer
+])
+def test_stream_counter_merge_split_equals_oracle(bufcap, storecap):
+    """Merge-split consolidation (buffer-only sort + bitonic half-clean +
+    cumsum-diff RLE + shift compaction) matches the host oracle across
+    repeated consolidations, padding, and store growth."""
+    import jax.numpy as jnp
+    from metacherchant_tpu.ops.sortcount import StreamCounter
+    from metacherchant_tpu.kmer_map import KmerMap
+
+    rng = np.random.default_rng(7)
+    k = 15
+    genome = "".join(rng.choice(list("ACGT"), size=800))
+    reads = [genome[s:s + 50]
+             for s in rng.integers(0, 750, size=120)]
+    lut = {c: i for i, c in enumerate("AGCT")}
+    codes = np.array([[lut[c] for c in r] for r in reads], np.int32)
+
+    sc = StreamCounter(buffer_cap=bufcap, store_cap=storecap, mode="merge")
+    for i in range(0, 120, 8):
+        sc.add_codes(jnp.asarray(codes[i:i + 8]), k, None)
+    keys, cnts = sc.finalize()
+    got = KmerMap(keys, cnts)
+    want = count_sequences_host(reads, k)
+    assert np.array_equal(got.keys, want.keys)
+    assert np.array_equal(got.counts, want.counts)
+
+
+def test_stream_counter_auto_routes_merge_above_ceiling(monkeypatch):
+    """'auto' picks merge-split when buffer+store exceeds the sort2 lane
+    ceiling, and the two modes agree bit-for-bit."""
+    import jax.numpy as jnp
+    from metacherchant_tpu.ops import sortcount
+
+    monkeypatch.setattr(sortcount.StreamCounter, "SORT2_LANE_CEILING", 2048)
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, size=(64, 40)).astype(np.int32)
+    k = 15
+
+    results = []
+    for mode in ("auto", "sort2"):
+        sc = sortcount.StreamCounter(buffer_cap=2048, store_cap=1024,
+                                     mode=mode)
+        for i in range(0, 64, 8):
+            sc.add_codes(jnp.asarray(codes[i:i + 8]), k, None)
+        results.append(sc.finalize())
+    (k1, c1), (k2, c2) = results
+    assert np.array_equal(k1, k2) and np.array_equal(c1, c2)
