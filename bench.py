@@ -52,15 +52,18 @@ M_BIG = int(os.environ.get("MC_BENCH_MBIG", "48"))
 # geometry ladder: (batch, buffer_lanes, store_lanes, genome_cap). Each batch
 # appends batch*(LEN-K+1) keys, which must fit the append buffer. The big
 # sort2 operates on buffer+store lanes; keep that total at an exact power of
-# two and the weights int32. Compile-service ceiling (measured): the
-# (int64, int32) sort2 compiles at 2^22 lanes; 2^23 lanes never finished
-# (20+ min uncontended), nor did the 10.5M-lane int64-weight variant
-# (~55 min cumulative). 2^22 is therefore the top rung: consolidation
-# amortizes over 2 batches (925696 keys each) per 4.2M-lane sort pair.
+# two so every geometry hits one cached sort2 shape. Compile-service ceiling
+# (measured round 4, scripts/profile_sort2_ceiling.py, real chip): the
+# (int64, int64) sort2 compiles at 2^22 (504 s cold, 15.4 ms warm) AND 2^23
+# (230 s cold, 35.7 ms warm). The top rung therefore puts buffer+store at
+# exactly 2^23: buffer 2^23-2^21 lanes (~6.8 batches of 925696 keys per
+# consolidation), store 2^21 (> the 1.5M distinct k-mers of the bench
+# genome, so the store never grows/recompiles mid-run). mode='auto' routes
+# all three rungs to the 2-sort split pipeline (total == ceiling).
 GEOMETRY = {
-    "default": (4096, 1 << 21, 1 << 21, None),    # sort2 = 2^22
-    "small":   (4096, 1 << 20, 1 << 20, 600000),  # sort2 = 2^21
-    "tiny":    (2048, 1 << 19, 1 << 19, 400000),  # sort2 = 2^20
+    "default": (4096, (1 << 23) - (1 << 21), 1 << 21, None),   # sort2 = 2^23
+    "small":   (4096, (1 << 22) - (1 << 20), 1 << 20, 600000), # sort2 = 2^22
+    "tiny":    (2048, 1 << 19, 1 << 19, 400000),               # sort2 = 2^20
 }
 
 
@@ -83,34 +86,49 @@ def parent() -> int:
             return 0
 
     # Compile-warm passes: build the persistent-cache entries for the full
-    # geometry. A single cold pass can exceed any sane budget on this rig
-    # (5+ min per large kernel), but the cache accumulates across killed
-    # attempts -- so retry while the entry count still grows.
-    warm_budget = int(os.environ.get("MC_BENCH_WARM_BUDGET", "580"))
-    for attempt in range(int(os.environ.get("MC_BENCH_WARM_ATTEMPTS", "3"))):
-        before = cache_entries()
-        log(f"bench phase --phase warm [attempt {attempt + 1}] "
-            f"(budget {warm_budget}s, cache {before} entries)")
-        proc = subprocess.Popen([sys.executable, me, "--phase", "warm"],
-                                stdout=subprocess.PIPE, stderr=sys.stderr,
-                                text=True)
-        try:
-            out, _ = proc.communicate(timeout=warm_budget)
-        except subprocess.TimeoutExpired:
-            proc.kill()
-            out, _ = proc.communicate()
-            log("warm attempt killed at budget")
-            time.sleep(5)
-        if "warm pass done" in (out or ""):
-            log("warm complete")
-            break
-        if cache_entries() <= before:
-            log("warm made no cache progress; moving on")
-            break
+    # geometry, ONE PIPELINE UNIT PER KILLABLE SUBPROCESS (VERDICT r3 #1:
+    # a single monolithic warm pass lets one slow unit starve the rest of
+    # its budget every attempt). Each unit compiles exactly the shapes the
+    # primary geometry dispatches; the big sort2 gets the long budget, and
+    # a killed unit is retried while the cache still grows. When everything
+    # is already cached each warm subprocess costs ~30 s (client startup).
+    unit_plan = [
+        ("sort2", int(os.environ.get("MC_BENCH_WARM_SORT2_BUDGET", "580"))),
+        ("cumsum", 300),
+        ("append", 240),
+        ("prep", 240),
+        ("finish", 240),
+        ("extract", 240),
+    ]
+    warm_attempts = int(os.environ.get("MC_BENCH_WARM_ATTEMPTS", "2"))
+    for unit, budget in unit_plan:
+        for attempt in range(warm_attempts):
+            before = cache_entries()
+            log(f"bench warm unit {unit} [attempt {attempt + 1}] "
+                f"(budget {budget}s, cache {before} entries)")
+            proc = subprocess.Popen(
+                [sys.executable, me, "--phase", "warmunit", "--unit", unit],
+                stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
+            killed = False
+            try:
+                out, _ = proc.communicate(timeout=budget)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                out, _ = proc.communicate()
+                killed = True
+                log(f"warm unit {unit} killed at budget")
+                time.sleep(5)
+            if f"warm unit {unit} done" in (out or ""):
+                break
+            if not killed or cache_entries() <= before:
+                break  # failed without progress: retrying won't help
 
     plan = [
+        # primary budget covers the first-chain first-touch latency (all
+        # kernels persistent-cache hits, but a fresh process pays client
+        # init + first cross-backend probe: 105-516 s observed round 4)
         (["--phase", "primary"],
-         int(os.environ.get("MC_BENCH_BUDGET", "580")), True),
+         int(os.environ.get("MC_BENCH_BUDGET", "840")), True),
         (["--phase", "primary", "--geom", "small"], 480, True),
         (["--phase", "primary", "--geom", "tiny"], 420, True),
         (["--phase", "dedup"], 300, True),
@@ -194,6 +212,67 @@ def _setup_cache() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
+def phase_warmunit(unit: str, geom: str) -> None:
+    """Compile ONE pipeline unit at the primary geometry into the cache.
+
+    Shapes match exactly what StreamCounter dispatches at this geometry so
+    the primary phase never pays a cold compile. Run as its own subprocess
+    under a per-unit budget (see parent()); prints a stdout marker on
+    success so the parent can stop retrying."""
+    _setup_cache()
+    import numpy as np
+    import metacherchant_tpu  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+    from metacherchant_tpu.ops.kmers import SENTINEL, canonical_kmers
+    from metacherchant_tpu.ops import sortcount as sc
+
+    g_batch, g_buf, g_store, _ = GEOMETRY[geom]
+    batch = int(os.environ.get("MC_BENCH_BATCH", str(g_batch)))
+    buf_lanes = int(os.environ.get("MC_BENCH_BUF_LANES", str(g_buf)))
+    store_lanes = int(os.environ.get("MC_BENCH_STORE_LANES", str(g_store)))
+    total = buf_lanes + store_lanes
+    rng = np.random.default_rng(0)
+
+    def keys(n):
+        return jnp.asarray(rng.integers(0, 1 << 62, size=n).astype(np.int64))
+
+    t0 = time.perf_counter()
+    if unit == "append":
+        buf = jnp.full((buf_lanes,), SENTINEL, jnp.int64)
+        codes = jnp.asarray(rng.integers(0, 4, size=(batch, LEN)).astype(
+            np.int32))
+        out, _off = sc._append_kernel(buf, jnp.int32(0), codes, K, None)
+        sc.fast_scalar(out[123].astype(jnp.int32))
+    elif unit == "prep":
+        out = sc._prep_kernel(
+            keys(store_lanes), jnp.ones((store_lanes,), jnp.int32),
+            keys(buf_lanes), jnp.int32(buf_lanes // 2))
+        sc.fast_scalar(out[0][123].astype(jnp.int32))
+    elif unit == "sort2":
+        out = sc._sort2_kernel(keys(total), keys(total))
+        sc.fast_scalar(out[0][123].astype(jnp.int32))
+    elif unit == "cumsum":
+        out = sc._cumsum_mark_kernel(keys(total), keys(total))
+        sc.fast_scalar(out[0][123].astype(jnp.int32))
+    elif unit == "finish":
+        out = sc._diff_finish_kernel(keys(total), keys(total))
+        sc.fast_scalar(out[0][123].astype(jnp.int32))
+    elif unit == "extract":
+        codes = jnp.asarray(rng.integers(0, 4, size=(batch, LEN)).astype(
+            np.int32))
+        ks, _ = jax.jit(canonical_kmers, static_argnames=("k", "hasher"))(
+            codes, K, None)
+        probe_fn = jax.jit(
+            lambda b: (b.ravel()[123] ^ b.ravel()[456]).astype(jnp.int32))
+        sc.fast_scalar(probe_fn(keys(store_lanes)))
+        sc.fast_scalar(ks[0, 0].astype(jnp.int32))
+    else:
+        raise SystemExit(f"unknown warm unit {unit}")
+    log(f"warm unit {unit} took {time.perf_counter() - t0:.1f}s")
+    print(f"warm unit {unit} done", flush=True)
+
+
 def phase_main(which: str, geom: str) -> None:
     _setup_cache()
     # Real device: do NOT force cpu (the session platform is the tunneled TPU).
@@ -248,7 +327,8 @@ def phase_main(which: str, geom: str) -> None:
 
         if which == "warm":
             run_chain(2)   # compiles append + all consolidation units
-            log("warm pass done (kernels cached)")
+            # stdout marker (the parent scans stdout, not stderr)
+            print("warm pass done", flush=True)
             return
         run_chain(2)
         log("compile warm")
@@ -409,11 +489,15 @@ def phase_bfs() -> None:
 def main() -> int:
     if "--phase" in sys.argv:
         which = sys.argv[sys.argv.index("--phase") + 1]
+        geom = (sys.argv[sys.argv.index("--geom") + 1]
+                if "--geom" in sys.argv else "default")
         if which == "bfs":
             phase_bfs()
             return 0
-        geom = (sys.argv[sys.argv.index("--geom") + 1]
-                if "--geom" in sys.argv else "default")
+        if which == "warmunit":
+            unit = sys.argv[sys.argv.index("--unit") + 1]
+            phase_warmunit(unit, geom)
+            return 0
         phase_main(which, geom)
         return 0
     return parent()

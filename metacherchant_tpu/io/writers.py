@@ -209,6 +209,98 @@ def write_fastq(path: str, records: Iterable[tuple[str, str, np.ndarray]],
             out.write(f"@{name}\n{seq}\n+\n{q}\n")
 
 
+def format_fastq_blob(codes: np.ndarray, phred: np.ndarray,
+                      lengths: np.ndarray, idx: np.ndarray,
+                      start_n: int, offset: int) -> bytes:
+    """Assemble a whole bin of fastq records as ONE bytes blob, no per-read
+    Python (VERDICT r3 #6: the routing was vectorized but the I/O layer was
+    record-at-a-time). Byte-identical to FastqWriter._format records:
+    `@<n>\\n<seq>\\n+\\n<qual>\\n`, numbers start_n.. consecutive, Phred
+    clamped at 62 + offset (itmo:io/writers/WritersUtils.java:50-80).
+
+    codes (B, L) with values 0..3 (A=0,G=1,C=2,T=3), phred (B, L), lengths
+    (B,), idx = selected rows in output order. Variable-length segments are
+    filled with the repeat/arange flat-index trick -- pure numpy throughout.
+    """
+    from ..dna import CODE_TO_CHAR
+
+    idx = np.asarray(idx)
+    nb = int(idx.size)
+    if nb == 0:
+        return b""
+    n = lengths[idx].astype(np.int64)
+    L = codes.shape[1]
+    col = np.arange(L, dtype=np.int64)[None, :]
+    mask = col < n[:, None]
+    seq_flat = CODE_TO_CHAR[np.clip(codes[idx], 0, 3)][mask]
+    qual_flat = (np.minimum(phred[idx].astype(np.int64), 62)
+                 + offset).astype(np.uint8)[mask]
+
+    nums = np.arange(start_n, start_n + nb, dtype=np.int64)
+    d = (np.floor(np.log10(nums)).astype(np.int64) + 1)  # digits (nums >= 1)
+
+    def digit_mat(sub_nums: np.ndarray, dd: int) -> np.ndarray:
+        """(len, dd) uint8 ASCII digits of numbers that all have dd digits."""
+        divs = 10 ** np.arange(dd - 1, -1, -1, dtype=np.int64)
+        return ((sub_nums[:, None] // divs[None, :]) % 10 + ord("0")).astype(
+            np.uint8)
+
+    if np.all(n == n[0]):
+        # uniform read length (the Illumina common case): records within one
+        # digit-count group share a fixed layout, so the whole group is one
+        # contiguous (rows, rec_len) column assembly -- no scatter fills.
+        # Record numbers are consecutive, so there are O(1) digit groups.
+        ln = int(n[0])
+        seq_mat = seq_flat.reshape(nb, ln)
+        qual_mat = qual_flat.reshape(nb, ln)
+        parts = []
+        starts = np.flatnonzero(np.diff(d, prepend=d[0] - 1))
+        for gi, s in enumerate(starts):
+            e = starts[gi + 1] if gi + 1 < starts.size else nb
+            dd = int(d[s])
+            g = e - s
+            rec = np.empty((g, dd + 2 * ln + 6), np.uint8)
+            rec[:, 0] = ord("@")
+            rec[:, 1:1 + dd] = digit_mat(nums[s:e], dd)
+            rec[:, 1 + dd] = ord("\n")
+            rec[:, 2 + dd:2 + dd + ln] = seq_mat[s:e]
+            rec[:, 2 + dd + ln] = ord("\n")
+            rec[:, 3 + dd + ln] = ord("+")
+            rec[:, 4 + dd + ln] = ord("\n")
+            rec[:, 5 + dd + ln:5 + dd + 2 * ln] = qual_mat[s:e]
+            rec[:, 5 + dd + 2 * ln] = ord("\n")
+            parts.append(rec.reshape(-1))
+        return np.concatenate(parts).tobytes()
+
+    maxd = int(d.max())
+    num_mat = digit_mat(nums, maxd)  # left-padded with '0' columns
+    dig_flat = num_mat[np.arange(maxd)[None, :] >= (maxd - d)[:, None]]
+
+    rec_len = d + 2 * n + 6  # '@' d '\n' seq '\n' '+' '\n' qual '\n'
+    off = np.cumsum(rec_len) - rec_len
+    out = np.empty(int(rec_len.sum()), np.uint8)
+
+    def fill(starts: np.ndarray, seg: np.ndarray, values: np.ndarray) -> None:
+        if values.size == 0:
+            return
+        base = np.cumsum(seg) - seg
+        pos = (np.repeat(starts, seg)
+               + (np.arange(values.size, dtype=np.int64) - np.repeat(base, seg)))
+        out[pos] = values
+
+    out[off] = ord("@")
+    fill(off + 1, d, dig_flat)
+    out[off + 1 + d] = ord("\n")
+    fill(off + 2 + d, n, seq_flat)
+    p = off + 2 + d + n
+    out[p] = ord("\n")
+    out[p + 1] = ord("+")
+    out[p + 2] = ord("\n")
+    fill(off + 5 + d + n, n, qual_flat)
+    out[off + 5 + d + 2 * n] = ord("\n")
+    return out.tobytes()
+
+
 class FastqWriter:
     """Incremental fastq writer for streaming classification.
 
@@ -223,7 +315,7 @@ class FastqWriter:
     def __init__(self, path: str, quality: str = "illumina"):
         _ensure_dir(path)
         self._offset = 64 if quality == "illumina" else 33
-        self._f = open(path, "w")
+        self._f = open(path, "wb")
         self._n = 0
 
     def _format(self, dnaq) -> str:
@@ -233,13 +325,23 @@ class FastqWriter:
         return f"@{self._n}\n{dnaq.to_string()}\n+\n{q}\n"
 
     def write(self, dnaq) -> None:
-        self._f.write(self._format(dnaq))
+        self._f.write(self._format(dnaq).encode("latin-1"))
 
     def write_many(self, dnaqs) -> None:
         """Batch write: one formatting pass + one file write per bin slice
         (keeps classifier routing O(bins) Python work per batch)."""
         if dnaqs:
-            self._f.write("".join(self._format(d) for d in dnaqs))
+            self._f.write(
+                "".join(self._format(d) for d in dnaqs).encode("latin-1"))
+
+    def write_batch(self, codes: np.ndarray, phred: np.ndarray,
+                    lengths: np.ndarray, idx: np.ndarray) -> None:
+        """Vectorized bin write straight from ReadBatch-style arrays: one
+        numpy blob assembly + one file write, zero per-read Python."""
+        blob = format_fastq_blob(codes, phred, lengths, idx,
+                                 self._n + 1, self._offset)
+        self._n += int(np.asarray(idx).size)
+        self._f.write(blob)
 
     def close(self) -> None:
         self._f.close()

@@ -138,7 +138,13 @@ def _sort2_kernel(keys, w):
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _rle_mark_kernel(s, w):
     """Mark run lasts of a SORTED multiset with the run total; rekey the rest
-    to SENTINEL (weight 0). Scan + elementwise only -- no sort in this unit."""
+    to SENTINEL (weight 0). Scan + elementwise only -- no sort in this unit.
+
+    LEGACY unit: the (flag, sum) custom-semigroup associative scan takes
+    >10 min to compile per shape on this rig. _cumsum_mark_kernel below
+    computes the same result from a plain jnp.cumsum (native HLO, seconds to
+    compile) and is what _consolidate_full_split dispatches; this kernel is
+    kept only as the semantics oracle for tests."""
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
     last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
 
@@ -155,6 +161,25 @@ def _rle_mark_kernel(s, w):
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
+def _cumsum_mark_kernel(s, w):
+    """Run totals WITHOUT a segmented scan: plain inclusive cumsum of weights.
+
+    At each run-LAST lane the cumsum equals the total weight through that
+    run; after the compaction sort (order-preserving for the strictly
+    ascending surviving keys) each run's count is the adjacent difference of
+    the compacted cumsum values (_diff_finish_kernel). SENTINEL/masked lanes
+    carry weight 0, so they never perturb the prefix sums. Returns
+    (key2, pref2): run-last lanes keep (key, cumsum), all others
+    (SENTINEL, 0)."""
+    pc = jnp.cumsum(w.astype(jnp.int64))
+    last = jnp.concatenate([s[1:] != s[:-1], jnp.ones((1,), bool)])
+    real = last & (s != SENTINEL)
+    key2 = jnp.where(real, s, SENTINEL)
+    pref2 = jnp.where(real, pc, 0)
+    return key2, pref2
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
 def _rle_finish_kernel(keys_c, sums_c):
     """Post-compaction cleanup: drop zero-weight lanes, clamp, count."""
     keys_c = jnp.where(sums_c > 0, keys_c, SENTINEL)
@@ -166,24 +191,31 @@ def _rle_finish_kernel(keys_c, sums_c):
 
 def _consolidate_full_split(store_keys, store_cnts, buf, offset):
     """_consolidate_full_kernel semantics via 5 small-jit dispatches:
-    prep -> sort2 -> rle_mark -> sort2 (compaction) -> finish."""
+    prep -> sort2 -> cumsum_mark -> sort2 (compaction) -> diff_finish.
+
+    Both sort2 calls share ONE compiled unit (identical (int64, int64)
+    signatures); everything else is elementwise + one native cumsum, so the
+    only expensive compile per geometry is the bare two-operand sort --
+    measured to compile (and cache) up to 2^23 lanes on this rig
+    (scripts/profile_sort2_ceiling.py)."""
     all_keys, all_w = _prep_kernel(store_keys, store_cnts, buf, offset)
     s, w = _sort2_kernel(all_keys, all_w)
-    key2, sum2 = _rle_mark_kernel(s, w)
-    keys_c, sums_c = _sort2_kernel(key2, sum2)
-    return _rle_finish_kernel(keys_c, sums_c)
+    key2, pref2 = _cumsum_mark_kernel(s, w)
+    keys_c, prefs_c = _sort2_kernel(key2, pref2)
+    return _diff_finish_kernel(keys_c, prefs_c)
 
 
 # --- merge-split consolidation: no full-width sort, no segmented scan.
 #
-# The split pipeline above still pays two TRUE sorts over buffer+store lanes
-# and one custom-semigroup associative scan; on this rig the 2-operand sort
-# stops compiling above 2^21 lanes and the (flag, sum) scan takes >10 min to
-# compile per shape, capping geometry (and therefore amortization).  This
+# The split pipeline above pays two TRUE sorts over buffer+store lanes; the
+# rig's compile service handles those up to SORT2_LANE_CEILING (2^23 lanes
+# measured, see the class attribute) but nothing larger is proven.  This
 # pipeline exploits that the STORE IS ALREADY SORTED, so the only true sort
-# needed is of the buffer alone (<= 2^21 lanes, keys only); everything wider
+# needed is of the buffer alone (keys only, 1-operand); everything wider
 # is built from units measured compile-safe and fast at >= 2^22 lanes
-# (scripts/profile_units.py, /tmp probes round 3):
+# (scripts/profile_units.py, /tmp probes round 3).  It is the 'merge' /
+# above-ceiling-auto path; below the ceiling the 2-sort split pipeline wins
+# on dispatch count:
 #
 #   buffer sort (1-op lax.sort @ store lanes)          ~3-4 ms
 #   bitonic half-clean merge stages, grouped 4/jit     0.45 ms/stage @2^22
@@ -359,9 +391,13 @@ class StreamCounter:
     and no worst-case pre-growth happens.
     """
 
-    #: largest 2-operand lax.sort this rig's compile service finishes
-    #: (scripts/profile_units.py: 2^21 compiles in ~45 s, 2^22 never)
-    SORT2_LANE_CEILING = 1 << 21
+    #: largest (int64, int64) 2-operand lax.sort this rig's compile service
+    #: finishes. Measured round 4 (scripts/profile_sort2_ceiling.py, real
+    #: chip): 2^22 compiles in 504 s / runs 15.4 ms warm (273 M lanes/s);
+    #: 2^23 compiles in 230 s / runs 35.7 ms warm (235 M lanes/s). Both are
+    #: in the persistent cache. The round-3 "2^21 ceiling" was measured on
+    #: an unhealthy compile service and is superseded. 2^24 is untested.
+    SORT2_LANE_CEILING = 1 << 23
 
     def __init__(self, buffer_cap_log2: int = 24, store_cap_log2: int = 22,
                  buffer_cap: int | None = None, store_cap: int | None = None,
@@ -374,6 +410,9 @@ class StreamCounter:
         # compiles up to SORT2_LANE_CEILING total lanes), 'merge' = buffer-only
         # sort + bitonic/cumsum/shift split units (any width), 'auto' = merge
         # iff the total exceeds the sort2 ceiling
+        if mode not in ("auto", "sort2", "merge"):
+            raise ValueError(
+                f"mode must be 'auto', 'sort2' or 'merge'; got {mode!r}")
         self.mode = mode
         self.buf = jnp.full((self.buffer_cap,), SENTINEL, jnp.int64)
         self.offset = jnp.int32(0)

@@ -21,6 +21,24 @@ from ..algo.classify import ReadBatch, find_reads, FoundStats
 CLASSIFY_BATCH = 8192
 
 
+def _mix_rows(b1, b2, rows: np.ndarray, use1: np.ndarray):
+    """Select per-row from two ReadBatches: row i of the result is
+    b1[rows[i]] where use1[i] else b2[rows[i]], padded to the wider batch.
+    Returns (codes, phred, lengths) arrays for FastqWriter.write_batch."""
+    w1 = b1.codes.shape[1]
+    w2 = b2.codes.shape[1]
+    w = max(w1, w2)
+    ns = rows.size
+    codes = np.zeros((ns, w), np.int32)
+    phred = np.full((ns, w), 99, np.int16)
+    lengths = np.where(use1, b1.lengths[rows], b2.lengths[rows])
+    codes[use1, :w1] = b1.codes[rows[use1]]
+    phred[use1, :w1] = b1.phred[rows[use1]]
+    codes[~use1, :w2] = b2.codes[rows[~use1]]
+    phred[~use1, :w2] = b2.phred[rows[~use1]]
+    return codes, phred, lengths
+
+
 def check_reads_files(files: list[str]) -> None:
     for f in files:
         if not os.path.exists(f):
@@ -135,14 +153,29 @@ class ReadsClassifier(Tool):
                 n_neither += neither.size
                 n_first += int(np.count_nonzero(f1[single]))
                 n_second += single.size - int(np.count_nonzero(f1[single]))
-                writers["found_1"].write_many([reads1[i] for i in both])
-                writers["found_2"].write_many([reads2[i] for i in both])
-                writers["not_found_1"].write_many([reads1[i] for i in neither])
-                writers["not_found_2"].write_many([reads2[i] for i in neither])
-                fnd = [reads1[i] if f1[i] else reads2[i] for i in single]
-                nfd = [reads2[i] if f1[i] else reads1[i] for i in single]
-                writers["found_s"].write_many([r for r in fnd if len(r)])
-                writers["not_found_s"].write_many([r for r in nfd if len(r)])
+                # Bin I/O is vectorized end-to-end: each bin is one numpy
+                # blob assembly + one file write (io/writers.py::
+                # format_fastq_blob) straight from the ReadBatch arrays --
+                # no DnaQ object lists, no per-record formatting
+                # (reference writes record-by-record,
+                # src/tools/ReadsClassifier.java:206-222).
+                writers["found_1"].write_batch(
+                    b1.codes, b1.phred, b1.lengths, both)
+                writers["found_2"].write_batch(
+                    b2.codes, b2.phred, b2.lengths, both)
+                writers["not_found_1"].write_batch(
+                    b1.codes, b1.phred, b1.lengths, neither)
+                writers["not_found_2"].write_batch(
+                    b2.codes, b2.phred, b2.lengths, neither)
+                # single bins: the found mate goes to found_s, the other to
+                # not_found_s, empty mates skipped (PairFinder.java:46-54)
+                use1 = f1[single]
+                sc, sp, sl = _mix_rows(b1, b2, single, use1)
+                writers["found_s"].write_batch(
+                    sc, sp, sl, np.flatnonzero(sl > 0))
+                nc, np_, nl = _mix_rows(b1, b2, single, ~use1)
+                writers["not_found_s"].write_batch(
+                    nc, np_, nl, np.flatnonzero(nl > 0))
         finally:
             for w in writers.values():
                 w.close()

@@ -17,7 +17,7 @@ from ..algo.classify import (
     triple_verdict_pass2, FOUND, HALF_FOUND, NOT_FOUND)
 from ..io.writers import FastqWriter
 from .reads_classifier import (
-    load_classifier_graph, check_reads_files, CLASSIFY_BATCH)
+    load_classifier_graph, check_reads_files, CLASSIFY_BATCH, _mix_rows)
 from ..io.readers import iter_dnaq_pair_batches
 
 
@@ -162,23 +162,29 @@ class TripleReadsClassifier(Tool):
                     idx = np.flatnonzero(same & (r1 == v))
                     n_both[v] += idx.size
                     # found_[12] write even empty mates (matches pass-2
-                    # routing of the reference); half/not skip empties
-                    writers[base + "_1"].write_many(
-                        [reads1[i] for i in idx
-                         if v == FOUND or len(reads1[i])])
-                    writers[base + "_2"].write_many(
-                        [reads2[i] for i in idx
-                         if v == FOUND or len(reads2[i])])
+                    # routing of the reference); half/not skip empties.
+                    # Bins are written as vectorized blobs (write_batch).
+                    i1 = idx if v == FOUND else idx[b1.lengths[idx] > 0]
+                    i2 = idx if v == FOUND else idx[b2.lengths[idx] > 0]
+                    writers[base + "_1"].write_batch(
+                        b1.codes, b1.phred, b1.lengths, i1)
+                    writers[base + "_2"].write_batch(
+                        b2.codes, b2.phred, b2.lengths, i2)
                 single = np.flatnonzero(~same)
-                sel = {v: [] for v in pair_bin}
-                for i in single:
-                    for res, read in ((int(r1[i]), reads1[i]),
-                                      (int(r2[i]), reads2[i])):
-                        n_single[res] += 1
-                        if len(read):
-                            sel[res].append(read)
+                # interleave (read1, read2) of every discordant pair in
+                # batch order, then slice per verdict -- identical file
+                # order to the reference's sequential per-pair loop
+                ns = single.size
+                rows2 = np.repeat(single, 2)
+                use1 = np.tile(np.array([True, False]), ns)
+                ic, ip, il = _mix_rows(b1, b2, rows2, use1)
+                vi = np.empty(2 * ns, np.int8)
+                vi[0::2] = r1[single]
+                vi[1::2] = r2[single]
                 for v, base in pair_bin.items():
-                    writers[base + "_s"].write_many(sel[v])
+                    n_single[v] += int(np.count_nonzero(vi == v))
+                    writers[base + "_s"].write_batch(
+                        ic, ip, il, np.flatnonzero((vi == v) & (il > 0)))
         finally:
             for w in writers.values():
                 w.close()

@@ -268,3 +268,38 @@ def test_classifier_streams_constant_memory(tmp_path):
     assert peak < 60 * 1024 * 1024, f"peak {peak / 1e6:.1f} MB"
     n_found = len(open(tmp_path / "out" / "found_1.fastq").read().splitlines()) // 4
     assert n_found == n  # every read is a genome substring at coverage >= 1
+
+
+def test_format_fastq_blob_matches_record_writer(tmp_path):
+    """Vectorized blob assembly is byte-identical to the per-record path,
+    including multi-digit record numbers, empty reads, and phred clamping."""
+    import numpy as np
+    from metacherchant_tpu.io.readers import DnaQ
+    from metacherchant_tpu.io.writers import FastqWriter
+    from metacherchant_tpu.algo.classify import ReadBatch
+
+    rng = np.random.default_rng(7)
+    dnaqs = []
+    for i in range(250):  # crosses the 9 -> 10 and 99 -> 100 digit bumps
+        n = int(rng.integers(0, 40)) if i % 17 else 0  # some empties
+        codes = rng.integers(0, 4, size=n).astype(np.int8)
+        phred = rng.integers(0, 80, size=n).astype(np.int16)  # clamps at 62
+        dnaqs.append(DnaQ(codes, phred))
+
+    p1 = tmp_path / "records.fastq"
+    with FastqWriter(str(p1)) as w:
+        # two chunks so numbering continues across write calls
+        w.write_many(dnaqs[:100])
+        w.write_many(dnaqs[100:])
+
+    b = ReadBatch.from_dnaqs(dnaqs)
+    p2 = tmp_path / "blob.fastq"
+    with FastqWriter(str(p2)) as w:
+        w.write_batch(b.codes, b.phred, b.lengths, np.arange(100))
+        w.write_batch(b.codes, b.phred, b.lengths, np.arange(100, 250))
+
+    assert p1.read_bytes() == p2.read_bytes()
+    w0 = FastqWriter(str(tmp_path / "empty.fastq"))
+    w0.write_batch(b.codes, b.phred, b.lengths, np.empty(0, np.int64))
+    w0.close()
+    assert (tmp_path / "empty.fastq").read_bytes() == b""
