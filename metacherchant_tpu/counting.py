@@ -140,10 +140,18 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
         sink = lambda codes: counter.add_codes(np.asarray(codes))
     elif engine == "sort":
         from .ops.sortcount import StreamCounter
+        # MC_SORT_BUF_LANES / MC_SORT_STORE_LANES pin raw lane counts so
+        # chip runs can hit persistently-cached consolidation shapes
+        # (buffer+store should total an exact power of two; see bench.py
+        # GEOMETRY); unset -> sized from table_log2.
+        buf_env = os.environ.get("MC_SORT_BUF_LANES")
+        store_env = os.environ.get("MC_SORT_STORE_LANES")
         counter = StreamCounter(
             buffer_cap_log2=max(table_log2 + 2,
                                 int(np.ceil(np.log2(batch * max_len))) + 1),
-            store_cap_log2=table_log2)
+            store_cap_log2=table_log2,
+            buffer_cap=int(buf_env) if buf_env else None,
+            store_cap=int(store_env) if store_env else None)
         sink = lambda codes: counter.add_codes(codes, k, hasher)
     elif engine == "merge":
         from .ops.mergecount import MergeCounter

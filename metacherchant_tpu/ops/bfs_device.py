@@ -191,11 +191,17 @@ def _table_lookup(tkeys, tcnts, q):
 
 def run_device_bfs(seed_codes: np.ndarray, kmap_or_table, k: int,
                    min_occ: int, direction: int,
-                   max_radius: int | None) -> np.ndarray:
+                   max_radius: int | None,
+                   frontier_cap: int | None = None) -> np.ndarray:
     """Host wrapper: returns the sorted oriented visited codes (numpy).
 
     kmap_or_table: a KmerMap (converted to a device table view) or a
-    DeviceHashTable.
+    DeviceHashTable. frontier_cap: per-layer frontier bound; defaults to
+    2x the table size (always safe). Radius-capped multi-seed workloads
+    should pass a tight cap -- the per-layer sorts scan frontier_cap*D
+    lanes, so an oversized cap dominates layer cost. Overflow is detected
+    on device and raised here, so a too-tight cap fails loudly, never
+    silently drops frontier lanes.
     """
     from .hashtable import DeviceHashTable
     from ..kmer_map import KmerMap
@@ -213,12 +219,16 @@ def run_device_bfs(seed_codes: np.ndarray, kmap_or_table, k: int,
     seeds = np.full(scap, SENTINEL, np.int64)
     seeds[: seed_codes.size] = seed_codes
     visited_log2 = max(int(np.ceil(np.log2(2 * est / 0.5 + 2))), 6)
-    frontier_cap = 1 << max(int(np.ceil(np.log2(2 * est + 2))), 6)
+    if frontier_cap is None:
+        frontier_cap = 1 << max(int(np.ceil(np.log2(2 * est + 2))), 6)
+    else:
+        frontier_cap = 1 << int(np.ceil(np.log2(max(frontier_cap,
+                                                    seed_codes.size, 64))))
     mr = max_radius if max_radius is not None else (1 << 30)
     vset, count, overflow = device_bfs(
         jnp.asarray(seeds), tkeys, tcnts, min_occ, mr, k, direction,
         frontier_cap, visited_log2)
-    if bool(overflow):  # pragma: no cover - caps sized from table
+    if bool(overflow):
         raise RuntimeError("device BFS frontier overflow")
     vk = np.asarray(vset)
     out = vk[vk != EMPTY]

@@ -394,10 +394,11 @@ class StreamCounter:
     #: largest (int64, int64) 2-operand lax.sort this rig's compile service
     #: finishes. Measured round 4 (scripts/profile_sort2_ceiling.py, real
     #: chip): 2^22 compiles in 504 s / runs 15.4 ms warm (273 M lanes/s);
-    #: 2^23 compiles in 230 s / runs 35.7 ms warm (235 M lanes/s). Both are
-    #: in the persistent cache. The round-3 "2^21 ceiling" was measured on
-    #: an unhealthy compile service and is superseded. 2^24 is untested.
-    SORT2_LANE_CEILING = 1 << 23
+    #: 2^23 compiles in 230 s / 35.7 ms warm (235 M lanes/s); 2^24 compiles
+    #: in 517 s / 82.7 ms warm (203 M lanes/s). All three are in the
+    #: persistent cache. The round-3 "2^21 ceiling" was measured on an
+    #: unhealthy compile service and is superseded. 2^25 is untested.
+    SORT2_LANE_CEILING = 1 << 24
 
     def __init__(self, buffer_cap_log2: int = 24, store_cap_log2: int = 22,
                  buffer_cap: int | None = None, store_cap: int | None = None,

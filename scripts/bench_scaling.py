@@ -7,23 +7,24 @@ per-device-fixed "weak scaling" cannot hold step time constant even for a
 perfect engine (total work grows with n on fixed silicon; XLA CPU intra-op
 threading already saturates both cores at mesh=1).
 
-What this rig CAN measure honestly, and what this script reports:
+What this rig CAN measure honestly, and what this script reports
+(one series per engine, VERDICT r3 #4 -- the round-3 per-device-fixed series
+is DROPPED: with total work growing on fixed silicon its step times are
+dominated by host scheduling noise, e.g. the unexplained r3 mesh-4 spike, and
+no reading of them validates or refutes the >=80% target):
 
-1. protocol overhead (headline, `sharded_count_protocol_overhead`):
-   FIXED total work, mesh n in {1,2,4,8}. Ideal engine: constant wall time
-   (same host capacity). efficiency(n) = t(1)/t(n) isolates the cost of the
-   sharding machinery itself -- per-shard dedup, owner bucketing, all_to_all,
-   fragmented table inserts -- which is exactly the part that software can
-   ruin; the remaining real-hardware scaling term (ICI all_to_all bandwidth)
-   is not emulatable here.
-2. per-device-fixed step times (`sharded_count_weak_scaling`): raw t_step(n)
-   with per-device work fixed, plus host_work_normalized_efficiency
-   n*t(1)/t(n) (the oversubscription-corrected reading, assuming mesh=1
-   saturates the host). Reported for completeness; on real multi-host
-   hardware the same script (minus MC_PLATFORM=cpu) measures true weak
-   scaling because each device is real silicon.
-3. the same two for sharded frontier-exchange BFS
-   (`sharded_bfs_protocol_overhead`).
+1. `sharded_count_protocol_overhead`: FIXED total work, mesh n in {1,2,4,8}.
+   On fixed silicon an overhead-free sharding protocol keeps wall time
+   constant (or below t(1), since a wider mesh lets XLA-CPU overlap more of
+   the per-shard work across the 2 physical cores). overhead_pct(n) =
+   t(n)/min_m t(m) - 1 isolates the cost of the sharding machinery itself
+   -- per-shard dedup, owner bucketing, all_to_all, fragmented inserts --
+   which is exactly the part software can ruin. The remaining real-hardware
+   term (ICI all_to_all bandwidth) is not emulatable here; on real
+   multi-chip hardware this same script (minus MC_PLATFORM=cpu) measures
+   true weak scaling.
+2. `sharded_bfs_protocol_overhead`: the same for the sharded
+   frontier-exchange BFS (fixed graph + seeds).
 
 Methodology details (all modes):
 - tables pre-sized so NO growth/sync event fires inside a timed chain
@@ -133,44 +134,50 @@ def main() -> None:
     print(f"devices available: {avail}; host cores: {os.cpu_count()}; "
           f"meshes: {sizes}", file=sys.stderr)
 
-    # 1. protocol overhead: fixed total work
-    t1 = None
+    print(json.dumps({
+        "metric": "methodology",
+        "note": ("Fixed-total-work series on a 2-core host emulating the "
+                 "mesh with virtual CPU devices: an overhead-free sharding "
+                 "protocol keeps wall time at or below t(mesh=1), so "
+                 "overhead_pct = t(n)/min_m t(m) - 1 bounds the software "
+                 "cost of the sharded path (dedup, owner bucketing, "
+                 "all_to_all, fragmented inserts). The plateau across "
+                 "meshes 2-8 is the 2-physical-core ceiling, not a protocol "
+                 "property. The >=80% BASELINE weak-scaling target needs "
+                 "real multi-chip silicon; this same script without "
+                 "MC_PLATFORM=cpu measures it there."),
+    }))
+
+    # 1. counting protocol overhead: fixed total work
+    results = []
     for n in sizes:
         t = count_step_time(n, TOTAL_BATCH)
-        t1 = t if t1 is None else t1
+        results.append((n, t))
+    tmin = min(t for _, t in results)
+    t1 = results[0][1]
+    for n, t in results:
         print(json.dumps({
             "metric": "sharded_count_protocol_overhead",
             "mesh": n, "total_reads_per_step": TOTAL_BATCH,
             "step_ms": round(t * 1000, 1),
             "keys_per_s": round(TOTAL_BATCH * (LEN - K + 1) / t, 1),
             "efficiency_vs_1dev": round(t1 / t, 3),
+            "overhead_pct": round(100 * (t / tmin - 1), 1),
         }))
         sys.stdout.flush()
 
-    # 2. per-device-fixed (classic weak scaling; see module docstring for
-    # why host_work_normalized is the honest reading on this rig)
-    t1 = None
+    # 2. sharded BFS protocol overhead (fixed graph + seeds)
+    results = []
     for n in sizes:
-        t = count_step_time(n, PER_DEV_BATCH * n)
-        t1 = t if t1 is None else t1
-        print(json.dumps({
-            "metric": "sharded_count_weak_scaling",
-            "mesh": n, "reads_per_dev_per_step": PER_DEV_BATCH,
-            "step_ms": round(t * 1000, 1),
-            "keys_per_s": round(PER_DEV_BATCH * n * (LEN - K + 1) / t, 1),
-            "host_work_normalized_efficiency": round(n * t1 / t, 3),
-        }))
-        sys.stdout.flush()
-
-    # 3. sharded BFS protocol overhead (fixed graph + seeds)
-    t1 = None
-    for n in sizes:
-        t = bfs_step_time(n)
-        t1 = t if t1 is None else t1
+        results.append((n, bfs_step_time(n)))
+    tmin = min(t for _, t in results)
+    t1 = results[0][1]
+    for n, t in results:
         print(json.dumps({
             "metric": "sharded_bfs_protocol_overhead",
             "mesh": n, "wall_s": round(t, 3),
             "efficiency_vs_1dev": round(t1 / t, 3),
+            "overhead_pct": round(100 * (t / tmin - 1), 1),
         }))
         sys.stdout.flush()
 
