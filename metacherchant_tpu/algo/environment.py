@@ -271,8 +271,18 @@ def route_device_bfs(n_seeds: int, max_radius: int | None,
     Policy (mirrors the FMT contraction auto-route, algo/fmt.py):
       MC_DEVICE_BFS=1 forces the device engine (when semantics allow),
       MC_DEVICE_BFS=0 forces host; otherwise auto-route to the device when
-      seeds >= MC_DEVICE_BFS_MIN_SEEDS (default 4096) and max_radius <=
+      seeds >= MC_DEVICE_BFS_MIN_SEEDS (default 500000) and max_radius <=
       MC_DEVICE_BFS_MAX_RADIUS (default 2000).
+
+    Threshold provenance (MEASURED round 4, bench.py --phase bfs-device, the
+    first recorded on-chip run): dispersed 4096-seed radius-50 workload over
+    a 400K-kmer map ran 30.0 s on device vs 0.157 s host C++ FIFO -- the
+    per-layer device cost (~600 ms) is dominated by random-gather probe
+    rounds in the visited-set and count-table while_loops (~54 ns/lane HBM
+    gather x multiple rounds x 3 loops/layer), a flat cost the host engine
+    (~0.6 us/expansion) only matches at frontiers near 10^6 lanes/layer.
+    Hence the default min-seeds of 500K: the device engine is profitable
+    only for massive simultaneous floods, not per-gene environments.
     """
     import os
     if max_kmers is not None or trim:
@@ -284,7 +294,7 @@ def route_device_bfs(n_seeds: int, max_radius: int | None,
         return True
     if max_radius is None:
         return False
-    min_seeds = int(os.environ.get("MC_DEVICE_BFS_MIN_SEEDS", "4096"))
+    min_seeds = int(os.environ.get("MC_DEVICE_BFS_MIN_SEEDS", "500000"))
     max_r = int(os.environ.get("MC_DEVICE_BFS_MAX_RADIUS", "2000"))
     return n_seeds >= min_seeds and max_radius <= max_r
 

@@ -24,8 +24,13 @@ def test_auto_route_wide_shallow(monkeypatch):
     assert not route_device_bfs(3000, 100_000, None, False)
     # unbounded radius -> host
     assert not route_device_bfs(100_000, None, None, False)
-    # wide-shallow (recipient-visualiser shape): device
-    assert route_device_bfs(5000, 1000, None, False)
+    # massive simultaneous flood: device (threshold measured round 4 --
+    # the on-chip per-layer flat cost only amortizes near 10^6-lane
+    # frontiers, see route_device_bfs docstring)
+    assert route_device_bfs(600_000, 1000, None, False)
+    # mid-size seeding (recipient-visualiser shape): HOST -- measured 190x
+    # faster at 4096 seeds (BENCH_NOTES r4)
+    assert not route_device_bfs(5000, 1000, None, False)
     # narrow seeds -> host
     assert not route_device_bfs(100, 1000, None, False)
 
