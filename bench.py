@@ -46,8 +46,14 @@ EST_JAVA_RATE = 4.0e7  # est. reference JVM k-mers/s (see module docstring)
 K = 31
 LEN = 256
 GENOME = int(os.environ.get("MC_BENCH_GENOME", "1500000"))
+# chain lengths: the difference T(M_BIG) - T(M_SMALL) must dwarf the fixed
+# per-chain cost (~1.5 s: cross-backend probe + dispatch tail). At the
+# default geometry a step is ~20 ms, so 96 steps of difference ~= 2 s --
+# measured round 4: 91.3 M kmers/s with a clean difference vs 57.4 M from
+# the absolute-rate fallback at M_BIG=48 (probe overhead inflated the
+# denominator). 112 batches stage ~940 MB of reads on device (16 GB HBM).
 M_SMALL = int(os.environ.get("MC_BENCH_MSMALL", "16"))
-M_BIG = int(os.environ.get("MC_BENCH_MBIG", "48"))
+M_BIG = int(os.environ.get("MC_BENCH_MBIG", "112"))
 
 # geometry ladder: (batch, buffer_lanes, store_lanes, genome_cap). Each batch
 # appends batch*(LEN-K+1) keys, which must fit the append buffer. The big

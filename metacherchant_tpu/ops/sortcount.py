@@ -196,7 +196,7 @@ def _consolidate_full_split(store_keys, store_cnts, buf, offset):
     Both sort2 calls share ONE compiled unit (identical (int64, int64)
     signatures); everything else is elementwise + one native cumsum, so the
     only expensive compile per geometry is the bare two-operand sort --
-    measured to compile (and cache) up to 2^23 lanes on this rig
+    measured to compile (and cache) up to 2^24 lanes on this rig
     (scripts/profile_sort2_ceiling.py)."""
     all_keys, all_w = _prep_kernel(store_keys, store_cnts, buf, offset)
     s, w = _sort2_kernel(all_keys, all_w)
@@ -208,7 +208,7 @@ def _consolidate_full_split(store_keys, store_cnts, buf, offset):
 # --- merge-split consolidation: no full-width sort, no segmented scan.
 #
 # The split pipeline above pays two TRUE sorts over buffer+store lanes; the
-# rig's compile service handles those up to SORT2_LANE_CEILING (2^23 lanes
+# rig's compile service handles those up to SORT2_LANE_CEILING (2^24 lanes
 # measured, see the class attribute) but nothing larger is proven.  This
 # pipeline exploits that the STORE IS ALREADY SORTED, so the only true sort
 # needed is of the buffer alone (keys only, 1-operand); everything wider
