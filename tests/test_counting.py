@@ -261,3 +261,13 @@ def test_stream_counter_auto_routes_merge_above_ceiling(monkeypatch):
         results.append(sc.finalize())
     (k1, c1), (k2, c2) = results
     assert np.array_equal(k1, k2) and np.array_equal(c1, c2)
+
+
+def test_stream_counter_mode_validated():
+    """Invalid mode strings fail loudly at construction (ADVICE r3: a typo
+    silently selected the sort2 path, which can hang compilation)."""
+    from metacherchant_tpu.ops.sortcount import StreamCounter
+    with pytest.raises(ValueError, match="mode"):
+        StreamCounter(buffer_cap=1024, store_cap=256, mode="Merge")
+    for ok in ("auto", "sort2", "merge"):
+        StreamCounter(buffer_cap=1024, store_cap=256, mode=ok)
