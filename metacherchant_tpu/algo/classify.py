@@ -104,6 +104,118 @@ class ReadBatch:
         return ReadBatch(codes, lengths, phred)
 
 
+def _pack_flat(codes: np.ndarray, phred: np.ndarray, offs: np.ndarray,
+               lo: int, hi: int) -> ReadBatch:
+    """Vectorized (B, L) packing of flat-parsed reads [lo, hi)."""
+    lens = (offs[lo + 1:hi + 1] - offs[lo:hi]).astype(np.int32)
+    starts = offs[lo:hi]
+    B = hi - lo
+    L = max(int(lens.max()) if B and lens.size else 1, 1)
+    ar = np.arange(L, dtype=np.int64)
+    mask = ar[None, :] < lens[:, None]
+    src = starts[:, None] + ar[None, :]
+    c = np.zeros((B, L), np.int32)
+    p = np.full((B, L), 99, np.int16)
+    c[mask] = codes[src[mask]]
+    p[mask] = phred[src[mask]]
+    return ReadBatch(c, lens, p)
+
+
+def _empty_batch(B: int) -> ReadBatch:
+    return ReadBatch(np.zeros((B, 1), np.int32), np.zeros(B, np.int32),
+                     np.full((B, 1), 99, np.int16))
+
+
+def iter_read_batch_pairs(files: list[str], batch: int):
+    """Stream paired reads as ReadBatch pairs.
+
+    Fast path: whole-file native C++ parse (native.parse_reads -- whole
+    reads, NO N-splitting, iter_dnaq semantics) + vectorized (B, L)
+    packing; zero per-read Python. Falls back to the DnaQ-object reader for
+    formats the native parser does not handle (BINQ, bz2) or when
+    MC_NATIVE_IO=0. PairSource semantics as iter_dnaq_pair_batches
+    (itmo:io/sources/PairSource.java:22-57): the shorter source continues
+    against empty mates; a single file pairs every read with an empty mate.
+    """
+    from .. import native
+    from ..io.readers import (detect_file_format, determine_quality_format,
+                              iter_dnaq_pair_batches)
+
+    import os
+    # whole-file native parse holds ~3 bytes/base (int8 codes + int16 phred)
+    # -- a small constant vs ~400+ B/read for DnaQ object lists, but still
+    # O(file); truly large files stay on the streaming DnaQ path
+    max_bytes = int(os.environ.get("MC_NATIVE_READS_MAX_BYTES",
+                                   str(2 << 30)))
+
+    def _native_parse(path):
+        try:
+            fmt = detect_file_format(path)
+        except IOError:
+            return None
+        if fmt.split(".")[0] != "fastq" or not (native.supports(fmt)
+                                                and native.available()):
+            return None
+        try:
+            if os.path.getsize(path) > max_bytes:
+                return None
+        except OSError:
+            return None
+        qoffset = 33 if determine_quality_format(path) == "sanger" else 64
+        try:
+            return native.parse_reads(path, qoffset)
+        except native.NativeIOError:
+            return None
+
+    parsed = [_native_parse(f) for f in files[:2]]
+    if any(p is None for p in parsed):
+        for reads1, reads2 in iter_dnaq_pair_batches(files, batch):
+            yield (ReadBatch.from_dnaqs(reads1), ReadBatch.from_dnaqs(reads2))
+        return
+
+    if len(parsed) == 1:
+        (c1, p1, o1), = parsed
+        n1, n2 = o1.size - 1, 0
+    else:
+        (c1, p1, o1), (c2, p2, o2) = parsed
+        n1, n2 = o1.size - 1, o2.size - 1
+    n = max(n1, n2)
+    for lo in range(0, n, batch):
+        hi = min(lo + batch, n)
+        if lo < n1:
+            b1 = _pack_flat(c1, p1, o1, lo, min(hi, n1))
+            if hi > n1:  # pad exhausted side with empty mates
+                pad = _empty_batch(hi - n1)
+                b1 = ReadBatch(
+                    _pad_rows(b1.codes, pad.codes),
+                    np.concatenate([b1.lengths, pad.lengths]),
+                    _pad_rows(b1.phred, pad.phred))
+        else:
+            b1 = _empty_batch(hi - lo)
+        if n2 > lo:
+            b2 = _pack_flat(c2, p2, o2, lo, min(hi, n2))
+            if hi > n2:
+                pad = _empty_batch(hi - n2)
+                b2 = ReadBatch(
+                    _pad_rows(b2.codes, pad.codes),
+                    np.concatenate([b2.lengths, pad.lengths]),
+                    _pad_rows(b2.phred, pad.phred))
+        else:
+            b2 = _empty_batch(hi - lo)
+        yield b1, b2
+
+
+def _pad_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Stack row blocks with different widths (zero-pad the narrower; the
+    padded region is always masked off by per-read lengths downstream)."""
+    w = max(a.shape[1], b.shape[1])
+    if a.shape[1] < w:
+        a = np.pad(a, ((0, 0), (0, w - a.shape[1])))
+    if b.shape[1] < w:
+        b = np.pad(b, ((0, 0), (0, w - b.shape[1])))
+    return np.concatenate([a, b])
+
+
 def _coverage_stats(cov: np.ndarray, lengths: np.ndarray, k: int):
     """cov (B, W) with garbage beyond n_i = len_i - k + 1 windows.
     Returns (cov_mean, width) per read; reads with len < k get 0s."""

@@ -21,6 +21,15 @@ import jax.numpy as jnp
 SATURATION = 32767
 
 
+def _mix64_np(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, numpy uint64 wrapping arithmetic."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
 class KmerMap:
     def __init__(self, keys: np.ndarray, counts: np.ndarray):
         assert keys.ndim == 1 and keys.shape == counts.shape
@@ -54,16 +63,72 @@ class KmerMap:
     def __len__(self) -> int:
         return self.keys.size
 
+    #: probe table load factor; probe rounds are linear, so keep it low
+    _PROBE_LOAD = 0.35
+    #: tcnts sentinel for an empty slot (real counts are >= 0; get() of an
+    #: absent key returns -1, so -2 is unreachable as a stored value)
+    _PROBE_EMPTY = -2
+
+    def _probe_table(self):
+        """Lazily-built host open-addressing table for bulk lookups.
+
+        np.searchsorted costs ~290 ns/query on large maps (measured round 4:
+        96% of find_reads); linear-probe rounds over a lightly-loaded table
+        resolve most queries in 1-2 gathers. Slot emptiness is encoded in
+        the counts array (sentinel -2) so each probe round gathers keys +
+        counts only -- no key sentinel is stolen (hashed k>31 keys span the
+        full int64 range)."""
+        cached = getattr(self, "_ptable", None)
+        if cached is not None:
+            return cached
+        n = self.keys.size
+        cap = 1 << max(int(np.ceil(np.log2(n / self._PROBE_LOAD + 1))), 4)
+        mask = np.uint64(cap - 1)
+        tkeys = np.zeros(cap, np.int64)
+        tcnts = np.full(cap, self._PROBE_EMPTY, np.int32)
+        slot = (_mix64_np(self.keys.view(np.uint64)) & mask).astype(np.int64)
+        pending = np.arange(n)
+        while pending.size:
+            s = slot[pending]
+            free = tcnts[s] == self._PROBE_EMPTY
+            cand = pending[free]
+            s_cand = s[free]
+            # first writer per slot wins this round (keys are unique)
+            uniq_s, first_idx = np.unique(s_cand, return_index=True)
+            winners = cand[first_idx]
+            tkeys[uniq_s] = self.keys[winners]
+            tcnts[uniq_s] = self.counts[winners]
+            placed = np.zeros(n, bool)
+            placed[winners] = True
+            pending = pending[~placed[pending]]
+            slot[pending] = (slot[pending] + 1) & np.int64(cap - 1)
+        self._ptable = (tkeys, tcnts, np.int64(cap - 1))
+        return self._ptable
+
     def get_many(self, query: np.ndarray) -> np.ndarray:
-        """Vectorized count lookup; absent -> -1."""
+        """Vectorized count lookup; absent -> -1 (Long2ShortHashMap.get
+        semantics, itmo:structures/map/Long2ShortHashMap.java:159-175)."""
         query = np.asarray(query, np.int64)
         if self.keys.size == 0:
             return np.full(query.shape, -1, np.int32)
-        pos = np.searchsorted(self.keys, query)
-        pos_c = np.minimum(pos, self.keys.size - 1)
-        hit = self.keys[pos_c] == query
-        out = np.where(hit, self.counts[pos_c], -1).astype(np.int32)
-        return out
+        q = np.ascontiguousarray(query.ravel())
+        tkeys, tcnts, mask = self._probe_table()
+        out = np.full(q.size, -1, np.int32)
+        slot = (_mix64_np(q.view(np.uint64)) & np.uint64(mask)).astype(
+            np.int64)
+        active = np.arange(q.size)
+        for _ in range(tcnts.size):
+            s = slot[active]
+            c_at = tcnts[s]
+            occupied = c_at != self._PROBE_EMPTY
+            hit = occupied & (tkeys[s] == q[active])
+            out[active[hit]] = c_at[hit]
+            cont = occupied & ~hit  # occupied by someone else: keep probing
+            active = active[cont]
+            if active.size == 0:
+                break
+            slot[active] = (slot[active] + 1) & mask
+        return out.reshape(query.shape)
 
     def get(self, key: int) -> int:
         return int(self.get_many(np.array([key], np.int64))[0])

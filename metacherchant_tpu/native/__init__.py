@@ -74,6 +74,14 @@ def _load():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_char_p, ctypes.c_int]
+        lib.fastio_parse_reads.restype = ctypes.c_int
+        lib.fastio_parse_reads.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int]
         lib.fastio_free.restype = None
         lib.fastio_free.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -246,3 +254,37 @@ def bfs_hashed(map_keys: np.ndarray, map_counts: np.ndarray,
         lib.mc_bfs_free(vis_p)
         lib.mc_bfs_free(last_p)
     return vis, last
+
+
+def parse_reads(path: str, qoffset: int = 33
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-read FASTQ parse, NO N-splitting (classifier-family semantics,
+    io/readers.py::iter_dnaq): returns (codes int8 (total,),
+    phred int16 (total,), offsets int64 (n_reads+1,)); read i is
+    codes[offsets[i]:offsets[i+1]]. Raises NativeIOError on failure."""
+    lib = _load()
+    if lib is None:
+        raise NativeIOError("native fastio unavailable")
+    codes_p = ctypes.POINTER(ctypes.c_int8)()
+    phred_p = ctypes.POINTER(ctypes.c_int16)()
+    offs_p = ctypes.POINTER(ctypes.c_int64)()
+    n_reads = ctypes.c_int64()
+    total = ctypes.c_int64()
+    errbuf = ctypes.create_string_buffer(512)
+    rc = lib.fastio_parse_reads(str(path).encode(), qoffset,
+                                ctypes.byref(codes_p), ctypes.byref(phred_p),
+                                ctypes.byref(offs_p), ctypes.byref(n_reads),
+                                ctypes.byref(total), errbuf, len(errbuf))
+    if rc != 0:
+        raise NativeIOError(errbuf.value.decode(errors="replace"))
+    try:
+        codes = np.ctypeslib.as_array(
+            codes_p, shape=(max(total.value, 1),))[: total.value].copy()
+        phred = np.ctypeslib.as_array(
+            phred_p, shape=(max(total.value, 1),))[: total.value].copy()
+        offs = np.ctypeslib.as_array(offs_p, shape=(n_reads.value + 1,)).copy()
+    finally:
+        lib.fastio_free(codes_p)
+        lib.fastio_free(phred_p)
+        lib.fastio_free(offs_p)
+    return codes, phred, offs

@@ -181,6 +181,65 @@ int fastio_parse(const char* path, int format, int qoffset, int8_t** codes_out,
   return 0;
 }
 
+// Whole-read FASTQ parse for the classifier family: NO N-splitting.
+// Mirrors io/readers.py::iter_dnaq exactly: codes = table[ch] with any
+// non-ACGT (IUPAC or junk) treated as N; phred = qual - qoffset, padded
+// with 0 when the qual line is shorter, truncated to the seq length;
+// N positions get (code 0, phred 0). One (codes,int8 / phred,int16) pair
+// per read, offsets delimit reads (empty reads allowed).
+int fastio_parse_reads(const char* path, int qoffset, int8_t** codes_out,
+                       int16_t** phred_out, int64_t** offsets_out,
+                       int64_t* n_reads, int64_t* total, char* errbuf,
+                       int errlen) {
+  static int8_t fasta_tab[256], fastq_tab[256];
+  static bool init = (build_tables(fasta_tab, fastq_tab), true);
+  (void)init;
+
+  std::string buf, err;
+  if (!read_all(path, &buf, &err)) {
+    snprintf(errbuf, errlen, "%s", err.c_str());
+    return 1;
+  }
+  std::vector<int8_t> codes;
+  std::vector<int16_t> phred;
+  std::vector<int64_t> offsets;
+  offsets.push_back(0);
+  codes.reserve(buf.size() / 2);
+  phred.reserve(buf.size() / 2);
+  LineIter it{buf.data(), buf.data() + buf.size()};
+  const char *b, *e;
+  while (true) {
+    if (!it.next(&b, &e)) break;  // header
+    if (b == e) continue;
+    const char *sb, *se, *pb, *pe, *qb, *qe;
+    if (!it.next(&sb, &se)) break;
+    if (!it.next(&pb, &pe)) break;  // '+'
+    if (!it.next(&qb, &qe)) qb = qe = sb;  // missing qual -> phred pad 0
+    int64_t len = se - sb;
+    int64_t qlen = qe - qb;
+    for (int64_t i = 0; i < len; ++i) {
+      int8_t v = fastq_tab[(unsigned char)sb[i]];
+      int16_t ph = i < qlen ? (int16_t)((unsigned char)qb[i] - qoffset)
+                            : (int16_t)0;
+      if (v < 0) { v = 0; ph = 0; }  // N / IUPAC / junk -> N semantics
+      codes.push_back(v);
+      phred.push_back(ph);
+    }
+    offsets.push_back((int64_t)codes.size());
+  }
+
+  *n_reads = (int64_t)offsets.size() - 1;
+  *total = (int64_t)codes.size();
+  *codes_out = (int8_t*)malloc(codes.size() ? codes.size() : 1);
+  memcpy(*codes_out, codes.data(), codes.size());
+  *phred_out = (int16_t*)malloc((phred.size() ? phred.size() : 1)
+                                * sizeof(int16_t));
+  memcpy(*phred_out, phred.data(), phred.size() * sizeof(int16_t));
+  *offsets_out = (int64_t*)malloc(offsets.size() * sizeof(int64_t));
+  memcpy(*offsets_out, offsets.data(), offsets.size() * sizeof(int64_t));
+  return 0;
+}
+
 void fastio_free(void* p) { free(p); }
 
 }  // extern "C"

@@ -14,9 +14,9 @@ import numpy as np
 from ..tool import Tool, Parameter, ExecutionFailedException
 from ..kmer_map import KmerMap
 from ..counting import count_kmers_device, count_kmers_host
-from ..io.readers import iter_dnaq_pair_batches
 from ..io.writers import read_kmers_bin, FastqWriter
-from ..algo.classify import ReadBatch, find_reads, FoundStats
+from ..algo.classify import (ReadBatch, find_reads, FoundStats,
+                             iter_read_batch_pairs)
 
 CLASSIFY_BATCH = 8192
 
@@ -123,20 +123,19 @@ class ReadsClassifier(Tool):
         self.info("Searching for%s reads in graph...",
                   " corrected" if corr else "")
 
-        # Streaming classification: read pairs are pulled in fixed-size
-        # batches and routed straight to the six bin writers -- memory is
-        # O(CLASSIFY_BATCH), matching the reference's streaming PairSource +
-        # per-pair tasks (src/tools/ReadsClassifier.java:160-187,
-        # itmo:io/sources/PairSource.java:22-57) instead of materializing
-        # whole read files.
+        # Batched classification: pairs stream as (B, L) ReadBatch arrays
+        # (native C++ whole-read parse + vectorized packing when available,
+        # algo/classify.py::iter_read_batch_pairs) and route straight to the
+        # six bin writers as vectorized blob writes -- the reference runs
+        # one task per pair with per-record I/O
+        # (src/tools/ReadsClassifier.java:160-187,206-222,
+        # itmo:io/sources/PairSource.java:22-57).
         n_both = n_first = n_second = n_neither = 0
         writers = {name: FastqWriter(os.path.join(out, name + ".fastq"))
                    for name in ("found_1", "found_2", "not_found_1",
                                 "not_found_2", "found_s", "not_found_s")}
         try:
-            for reads1, reads2 in iter_dnaq_pair_batches(files, CLASSIFY_BATCH):
-                b1 = ReadBatch.from_dnaqs(reads1)
-                b2 = ReadBatch.from_dnaqs(reads2)
+            for b1, b2 in iter_read_batch_pairs(files, CLASSIFY_BATCH):
                 f1 = find_reads(b1, kmap, k, hasher, z, thr, corr)
                 f2 = find_reads(b2, kmap, k, hasher, z, thr, corr)
                 # single-end convention (PairFinder.java:42-44)

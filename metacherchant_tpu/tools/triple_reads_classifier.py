@@ -18,7 +18,7 @@ from ..algo.classify import (
 from ..io.writers import FastqWriter
 from .reads_classifier import (
     load_classifier_graph, check_reads_files, CLASSIFY_BATCH, _mix_rows)
-from ..io.readers import iter_dnaq_pair_batches
+from ..algo.classify import iter_read_batch_pairs
 
 
 class TripleReadsClassifier(Tool):
@@ -106,9 +106,7 @@ class TripleReadsClassifier(Tool):
         self.info("Searching for%s reads in graph...", " corrected" if corr else "")
         v1_parts_1: list[np.ndarray] = []
         v1_parts_2: list[np.ndarray] = []
-        for reads1, reads2 in iter_dnaq_pair_batches(files, CLASSIFY_BATCH):
-            b1 = ReadBatch.from_dnaqs(reads1)
-            b2 = ReadBatch.from_dnaqs(reads2)
+        for b1, b2 in iter_read_batch_pairs(files, CLASSIFY_BATCH):
             f1 = find_reads(b1, kmap1, k, hasher1, z, thr, corr)
             f2 = find_reads(b2, kmap1, k, hasher1, z, thr, corr)
             f2 = np.where(b2.lengths == 0, ~f1, f2)
@@ -141,19 +139,18 @@ class TripleReadsClassifier(Tool):
                             label="pairs", log_every=500_000)
         try:
             offset = 0
-            for reads1, reads2 in iter_dnaq_pair_batches(files, CLASSIFY_BATCH):
-                progress.update(len(reads1))
-                b1 = ReadBatch.from_dnaqs(reads1)
-                b2 = ReadBatch.from_dnaqs(reads2)
+            for b1, b2 in iter_read_batch_pairs(files, CLASSIFY_BATCH):
+                progress.update(int(b1.lengths.size))
                 f1 = find_reads(b1, kmap2, k2, hasher2, z, thr, corr)
                 f2 = find_reads(b2, kmap2, k2, hasher2, z, thr, corr)
                 f2 = np.where(b2.lengths == 0, ~f1, f2)
                 w1 = batch_widths(b1, kmap2, k2, hasher2)
                 w2 = batch_widths(b2, kmap2, k2, hasher2)
-                sl = slice(offset, offset + len(reads1))
+                nb = int(b1.lengths.size)
+                sl = slice(offset, offset + nb)
                 r1 = triple_verdict_pass2(f1, w1, v1_1[sl], half)
                 r2 = triple_verdict_pass2(f2, w2, v1_2[sl], half)
-                offset += len(reads1)
+                offset += nb
                 # route the 9 combinations (TripleFinder2.java:83-107),
                 # partitioned with numpy; flatnonzero keeps batch order so
                 # each bin file matches the sequential reference loop

@@ -142,3 +142,77 @@ def test_count_kmers_device_native_batches_equal(tmp_path, monkeypatch):
     native._lib = None
     assert (km_py.keys == km_nat.keys).all()
     assert (km_py.counts == km_nat.counts).all()
+
+
+def test_parse_reads_matches_python_oracle(tmp_path):
+    """native.parse_reads (whole reads, no N-split) must equal iter_dnaq on
+    a fastq with Ns, IUPAC letters, short qual lines, and empty reads."""
+    import numpy as np
+    from metacherchant_tpu import native
+    from metacherchant_tpu.io.readers import iter_dnaq
+    if not native.available():
+        import pytest
+        pytest.skip("native io unavailable")
+
+    p = tmp_path / "reads.fastq"
+    p.write_text(
+        "@r1\nACGTNACGT\n+\nIIIIIIIII\n"
+        "@r2 with comment\nRYKMAC\n+\n!!!!!!\n"     # IUPAC -> N semantics
+        "@r3\nACGT\n+\nII\n"                        # short qual line -> pad 0
+        "@r4\n\n+\n\n"                              # empty read
+        "@r5\nacgt\n+\nIIII\n")                     # lowercase
+    codes, phred, offs = native.parse_reads(str(p), 33)
+    dnaqs = list(iter_dnaq(str(p), "fastq", "sanger"))
+    assert offs.size - 1 == len(dnaqs)
+    for i, d in enumerate(dnaqs):
+        c = codes[offs[i]:offs[i + 1]]
+        q = phred[offs[i]:offs[i + 1]]
+        assert np.array_equal(c, np.asarray(d.codes, np.int8)), i
+        assert np.array_equal(q, np.asarray(d.phred, np.int16)), i
+
+
+def test_iter_read_batch_pairs_native_equals_fallback(tmp_path, monkeypatch):
+    """The native array-batch pair iterator must produce identical batches
+    to the DnaQ fallback path, including uneven pair files and batching."""
+    import numpy as np
+    from metacherchant_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native io unavailable")
+    import importlib
+    import metacherchant_tpu.algo.classify as classify
+
+    rng = np.random.default_rng(5)
+    alpha = "ACGT"
+    f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+    for f, n in ((f1, 23), (f2, 17)):   # uneven: PairSource empty-mate tail
+        with open(f, "w") as fh:
+            for i in range(n):
+                ln = int(rng.integers(1, 40))
+                s = "".join(alpha[j] for j in rng.integers(0, 4, size=ln))
+                fh.write(f"@x{i}\n{s}\n+\n{'I' * ln}\n")
+
+    def batches(env):
+        monkeypatch.setenv("MC_NATIVE_IO", env)
+        # the native module caches availability; force re-evaluation via the
+        # public iterator's fallback branch by reloading is overkill -- the
+        # fallback is taken when parse fails OR env=0 at native load time,
+        # so emulate by calling the two paths directly
+        return list(classify.iter_read_batch_pairs(
+            [str(f1), str(f2)], batch=8))
+
+    native_batches = batches("1")
+    # force the DnaQ fallback by monkeypatching availability
+    monkeypatch.setattr(native, "available", lambda: False)
+    fallback_batches = batches("1")
+    assert len(native_batches) == len(fallback_batches)
+    for (a1, a2), (b1, b2) in zip(native_batches, fallback_batches):
+        for a, b in ((a1, b1), (a2, b2)):
+            assert np.array_equal(a.lengths, b.lengths)
+            L = max(a.codes.shape[1], b.codes.shape[1])
+            mask_cols = np.arange(L)
+            for arr_a, arr_b in ((a.codes, b.codes), (a.phred, b.phred)):
+                pa = np.pad(arr_a, ((0, 0), (0, L - arr_a.shape[1])))
+                pb = np.pad(arr_b, ((0, 0), (0, L - arr_b.shape[1])))
+                m = mask_cols[None, :] < a.lengths[:, None]
+                assert np.array_equal(pa[m], pb[m])
