@@ -141,17 +141,22 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
     elif engine == "sort":
         from .ops.sortcount import StreamCounter
         # MC_SORT_BUF_LANES / MC_SORT_STORE_LANES pin raw lane counts so
-        # chip runs can hit persistently-cached consolidation shapes
-        # (buffer+store should total an exact power of two; see bench.py
-        # GEOMETRY); unset -> sized from table_log2.
+        # chip runs can hit persistently-cached consolidation shapes; unset
+        # -> sized from table_log2 with buffer = 2^t - store, keeping
+        # buffer+store at an exact power of two (the consolidation sort2's
+        # lane count), so every store size reuses one cached sort2 shape
+        # per total (see bench.py GEOMETRY + scripts/profile_sort2_ceiling).
         buf_env = os.environ.get("MC_SORT_BUF_LANES")
         store_env = os.environ.get("MC_SORT_STORE_LANES")
-        counter = StreamCounter(
-            buffer_cap_log2=max(table_log2 + 2,
-                                int(np.ceil(np.log2(batch * max_len))) + 1),
-            store_cap_log2=table_log2,
-            buffer_cap=int(buf_env) if buf_env else None,
-            store_cap=int(store_env) if store_env else None)
+        store_cap = int(store_env) if store_env else (1 << table_log2)
+        if buf_env:
+            buffer_cap = int(buf_env)
+        else:
+            min_buf = max((1 << (table_log2 + 2)) - store_cap,
+                          2 * batch * max_len)
+            total = 1 << int(np.ceil(np.log2(min_buf + store_cap)))
+            buffer_cap = total - store_cap
+        counter = StreamCounter(buffer_cap=buffer_cap, store_cap=store_cap)
         sink = lambda codes: counter.add_codes(codes, k, hasher)
     elif engine == "merge":
         from .ops.mergecount import MergeCounter

@@ -439,8 +439,22 @@ class StreamCounter:
         fk, fc, nd = self._pending
         self._pending = None
         self._live = fast_scalar(nd)
+        old_total = self.buffer_cap + self.store_cap
+        grew = False
         while self._live > self.store_cap:
             self.store_cap *= 2
+            grew = True
+        if grew:
+            # keep buffer+store at the SAME power-of-two total when the
+            # grown store fits in half of it (shrinking the buffer), else
+            # double the total -- so store growth reuses the one cached
+            # sort2/cumsum consolidation shape instead of shifting ALL
+            # subsequent totals to odd sizes. (The consolidation already in
+            # flight with the old full buffer still runs at one transitional
+            # odd total; everything after is aligned again.)
+            total = 1 << int(np.ceil(np.log2(max(old_total,
+                                                 2 * self.store_cap))))
+            self.buffer_cap = total - self.store_cap
         m = self.store_cap
         if fk.shape[0] >= m:
             # uniques are compacted (sorted) at the front: a slice IS the store

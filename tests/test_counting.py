@@ -271,3 +271,33 @@ def test_stream_counter_mode_validated():
         StreamCounter(buffer_cap=1024, store_cap=256, mode="Merge")
     for ok in ("auto", "sort2", "merge"):
         StreamCounter(buffer_cap=1024, store_cap=256, mode=ok)
+
+
+def test_stream_counter_growth_realigns_pow2_total():
+    """After store growth, buffer+store returns to a power-of-two total
+    (shrinking the buffer) so consolidation shapes stay cached; correctness
+    vs the host oracle is preserved across the growth event."""
+    import jax.numpy as jnp
+    from metacherchant_tpu.ops.sortcount import StreamCounter
+    from metacherchant_tpu.counting import _count_codes_into
+
+    rng = np.random.default_rng(11)
+    k = 13
+    sc = StreamCounter(buffer_cap=(1 << 12) - (1 << 8), store_cap=1 << 8,
+                       mode="sort2")
+    oracle: dict[int, int] = {}
+    # enough distinct kmers to overflow the 256-lane store repeatedly
+    for step in range(8):
+        codes = rng.integers(0, 4, size=(32, 64)).astype(np.int32)
+        sc.add_codes(jnp.asarray(codes), k, None)
+        for row in codes:
+            _count_codes_into(oracle, row.astype(np.int8), k, None)
+    keys, counts = sc.finalize()
+    assert ((sc.buffer_cap + sc.store_cap)
+            & (sc.buffer_cap + sc.store_cap - 1)) == 0, (
+        sc.buffer_cap, sc.store_cap)
+    assert sc.store_cap >= keys.size
+    ok = np.array(sorted(oracle))
+    assert np.array_equal(keys, ok)
+    assert np.array_equal(counts,
+                          np.array([min(oracle[int(x)], 32767) for x in ok]))
