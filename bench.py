@@ -433,7 +433,8 @@ def phase_bfs_host() -> None:
     from metacherchant_tpu.kmer_map import KmerMap
     from metacherchant_tpu.counting import seed_keys_of_sequence
     from metacherchant_tpu.algo.environment import build_environment
-    from metacherchant_tpu.io.writers import load_graph_txt, write_graph_txt
+    from metacherchant_tpu.io.writers import (load_graph_txt,
+                                              write_graph_txt_codes)
     from metacherchant_tpu.io.readers import read_rich_fasta
 
     gold = "/root/reference/Hi-C_pipline/example_work_dir/output/1/merged"
@@ -453,9 +454,11 @@ def phase_bfs_host() -> None:
         env = build_environment([gene], k, kmap, min_occ=5,
                                 both_directions=False, max_radius=100000,
                                 max_kmers=None, trim=False)
-        sub = env.as_dict()
-        write_graph_txt("/tmp/bench_bfs_graph.txt", sub)
-        return time.perf_counter() - t0, len(sub)
+        # same writer the CLI uses (vectorized; byte-identical to the dict
+        # path, golden-pinned in test_env_golden.py)
+        write_graph_txt_codes("/tmp/bench_bfs_graph.txt", env.codes,
+                              env.counts, k)
+        return time.perf_counter() - t0, int(env.codes.size)
 
     run_host()  # warm
     runs = [run_host() for _ in range(3)]

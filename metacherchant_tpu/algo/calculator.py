@@ -13,7 +13,8 @@ from ..kmer_map import KmerMap
 from .environment import build_environment, Environment
 from .contraction import build_node_graph, do_merge, gene_kmer_checker
 from ..io.writers import (
-    write_graph_txt, write_seqs_fasta, write_gfa, write_tsvs)
+    write_graph_txt, write_graph_txt_codes, write_seqs_fasta, write_gfa,
+    write_tsvs)
 
 logger = logging.getLogger("metacherchant")
 
@@ -53,8 +54,15 @@ def run_one_sequence(sequences: list[str], k: int, kmap: KmerMap,
         return None
     logger.info("Extending endings by %d kmers", env.extend_count)
 
+    if hasher is None:
+        # exact regime: vectorized writer straight from oriented codes
+        # (byte-identical to write_graph_txt(as_dict()); golden-pinned)
+        write_graph_txt_codes(os.path.join(output_prefix, "graph.txt"),
+                              env.codes, env.counts, k)
+    else:
+        write_graph_txt(os.path.join(output_prefix, "graph.txt"),
+                        env.as_dict())
     subgraph = env.as_dict()
-    write_graph_txt(os.path.join(output_prefix, "graph.txt"), subgraph)
     create_picture(subgraph, sequences, k, output_prefix, chunk_length)
     return env
 

@@ -402,17 +402,13 @@ def _extend_environment_count(env: Environment, kmap: KmerMap,
         return 0
     cand = neighbors_codes(env.codes, env.k, 0)           # (S, 8)
     canon = canonical_codes(cand, env.k)
-    # single searchsorted: env canonical keys are a subset of the map keys
-    # (every admitted k-mer has count >= min_occ), so subgraph membership is
-    # a boolean over map positions instead of a second binary search
-    pos = np.searchsorted(kmap.keys, canon.ravel())
-    pos_c = np.minimum(pos, max(kmap.keys.size - 1, 0))
-    hit = kmap.keys.size > 0
-    hit = (kmap.keys[pos_c] == canon.ravel()) if hit else np.zeros(canon.size, bool)
-    occs = np.where(hit, kmap.counts[pos_c], -1).reshape(canon.shape)
-    env_mask = np.zeros(kmap.keys.size, bool)
-    sub_pos = np.searchsorted(kmap.keys, canonical_codes(env.codes, env.k))
-    env_mask[np.minimum(sub_pos, max(kmap.keys.size - 1, 0))] = True
-    in_sub = (env_mask[pos_c] & hit).reshape(canon.shape)
+    # probe-table lookups (kmer_map.get_many) for both the reads map and a
+    # small map over the environment's own canonical keys -- replaces the
+    # two np.searchsorted passes that dominated this function (~290 ns/query,
+    # BENCH_NOTES r4)
+    occs = kmap.get_many(canon)
+    env_map = KmerMap.from_pairs(canonical_codes(env.codes, env.k),
+                                 np.ones(env.codes.size, np.int64))
+    in_sub = env_map.get_many(canon) >= 0
     outside = (~in_sub) & (occs >= min_occ)
     return int((outside.sum(axis=1) == 1).sum())

@@ -35,6 +35,49 @@ def write_graph_txt(path: str, env_dict: dict[str, int]) -> None:
             out.write(f"{kmer} {env_dict[kmer]}\n")
 
 
+def write_graph_txt_codes(path: str, codes: np.ndarray, counts: np.ndarray,
+                          k: int) -> None:
+    """Vectorized write_graph_txt straight from oriented k-mer codes:
+    decode to a char matrix, lexsort rows (== the string sort of the dict
+    path), assemble one bytes blob. Byte-identical to
+    write_graph_txt(env.as_dict()) -- pinned by the golden tests."""
+    from ..dna import CODE_TO_CHAR
+
+    _ensure_dir(path)
+    n = int(codes.size)
+    if n == 0:
+        open(path, "w").close()
+        return
+    codes = np.asarray(codes, np.int64)
+    counts = np.asarray(counts, np.int64)
+    shifts = (2 * np.arange(k - 1, -1, -1, dtype=np.int64))
+    chars = CODE_TO_CHAR[(codes[:, None] >> shifts[None, :]) & 3]  # (n,k) u8
+    order = np.lexsort(chars.T[::-1])
+    chars = chars[order]
+    cnts = counts[order]
+    d = np.where(cnts > 0,
+                 np.floor(np.log10(np.maximum(cnts, 1))).astype(np.int64) + 1,
+                 1)
+    maxd = int(d.max())
+    divs = 10 ** np.arange(maxd - 1, -1, -1, dtype=np.int64)
+    dig = ((cnts[:, None] // divs[None, :]) % 10 + ord("0")).astype(np.uint8)
+    dig_flat = dig[np.arange(maxd)[None, :] >= (maxd - d)[:, None]]
+
+    rec_len = k + 2 + d  # kmer ' ' digits '\n'
+    off = np.cumsum(rec_len) - rec_len
+    out = np.empty(int(rec_len.sum()), np.uint8)
+    col = np.arange(k, dtype=np.int64)
+    out[(off[:, None] + col[None, :]).ravel()] = chars.ravel()
+    out[off + k] = ord(" ")
+    base = np.cumsum(d) - d
+    pos = (np.repeat(off + k + 1, d)
+           + (np.arange(dig_flat.size, dtype=np.int64) - np.repeat(base, d)))
+    out[pos] = dig_flat
+    out[off + k + 1 + d] = ord("\n")
+    with open(path, "wb") as fh:
+        fh.write(out.tobytes())
+
+
 def load_graph_txt(path: str) -> dict[str, int]:
     """DeBruijnGraphUtils.loadGraph (src/io/graph/DeBruijnGraphUtils.java:13-27)."""
     graph: dict[str, int] = {}
