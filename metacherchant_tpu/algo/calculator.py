@@ -70,10 +70,26 @@ def run_one_sequence(sequences: list[str], k: int, kmap: KmerMap,
 def create_picture(subgraph: dict[str, int], gene_sequences: list[str], k: int,
                    output_prefix: str, chunk_length: int) -> None:
     """createPicture (OneSequenceCalculator.java:326-339): build doubled-node
-    graph, contract, emit seqs.fasta + graph.gfa + tsvs/."""
-    nodes = build_node_graph(sorted(subgraph), k,
-                             is_gene=gene_kmer_checker(gene_sequences, k))
-    do_merge(nodes, k)
+    graph, contract, emit seqs.fasta + graph.gfa + tsvs/.
+
+    Large environments auto-route through the device pointer-jumping
+    contraction (same policy + thresholds as the FMT pictures, algo/fmt.py;
+    measured crossover: device 3.38 s vs host sweep 5.61 s at 400K k-mers,
+    BENCH_NOTES r4). Typical capped per-gene environments stay on the
+    reference-faithful host sweep."""
+    import os
+    kmer_list = sorted(subgraph)
+    is_gene = gene_kmer_checker(gene_sequences, k)
+    flag = os.environ.get("MC_DEVICE_CONTRACT")
+    eligible = k % 2 == 1 and k <= 31
+    auto_min = int(os.environ.get("MC_DEVICE_CONTRACT_MIN", "200000"))
+    if eligible and (flag == "1"
+                     or (flag != "0" and len(kmer_list) >= auto_min)):
+        from ..ops.contraction_device import contract_device
+        nodes = contract_device(kmer_list, k, tag_of=is_gene)
+    else:
+        nodes = build_node_graph(kmer_list, k, is_gene=is_gene)
+        do_merge(nodes, k)
     write_seqs_fasta(os.path.join(output_prefix, "seqs.fasta"), nodes, chunk_length)
     write_gfa(os.path.join(output_prefix, "graph.gfa"), nodes, k, subgraph)
     write_tsvs(os.path.join(output_prefix, "tsvs"), nodes, k)

@@ -221,3 +221,38 @@ def test_cli_multigene_parallel_matches_serial(synthetic, tmp_path):
             gname: load_graph_txt(os.path.join(out, gname, "graph.txt"))
             for gname in ("gA", "gB", "gC")}
     assert outs["par"] == outs["serial"]
+
+
+def test_cli_device_contraction_matches_host(synthetic, monkeypatch):
+    """MC_DEVICE_CONTRACT=1 routes create_picture through the device
+    pointer-jumping contraction (calculator auto-route, same policy as the
+    FMT pictures): seqs.fasta content and GFA S/L structure must match the
+    host sweep."""
+    tmp, reads_path, gene_path, gene = synthetic
+    outs = {}
+    for tag, dev in (("host", "0"), ("dev", "1")):
+        monkeypatch.setenv("MC_DEVICE_CONTRACT", dev)
+        out = str(tmp / f"out_devcon_{tag}")
+        rc = runner_main([
+            "-t", "environment-finder",
+            "-k", "21", "-i", reads_path, "--seq", gene_path,
+            "-o", out, "--coverage", "2", "--maxradius", "40",
+            "--work-dir", str(tmp / f"wd_devcon_{tag}"),
+        ])
+        assert rc == 0
+        d = os.path.join(out, "mygene")
+        from metacherchant_tpu.dna import reverse_complement
+        with open(os.path.join(d, "seqs.fasta")) as f:
+            # unitig set up to orientation (the engines may emit either
+            # strand; the reference's own choice follows HashMap order)
+            seqs = sorted(min(l, reverse_complement(l))
+                          for l in f.read().splitlines()
+                          if not l.startswith(">"))
+        s_lines = l_count = 0
+        with open(os.path.join(d, "graph.gfa")) as f:
+            for line in f:
+                s_lines += line.startswith("S\t")
+                l_count += line.startswith("L\t")
+        outs[tag] = (seqs, s_lines, l_count)
+    monkeypatch.delenv("MC_DEVICE_CONTRACT", raising=False)
+    assert outs["dev"] == outs["host"] and outs["host"][0]
