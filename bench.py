@@ -184,7 +184,8 @@ def parent() -> int:
     # killed phase still lands in the artifact.
     for phase, budget in (("bfs-host", 300),
                           ("bfs-genome", 560),
-                          ("bfs-device", 560)):
+                          ("bfs-device", 560),
+                          ("classify", 420)):
         log(f"bench phase --phase {phase} (budget {budget}s)")
         proc = subprocess.Popen([sys.executable, me, "--phase", phase],
                                 stdout=subprocess.PIPE, stderr=sys.stderr,
@@ -694,6 +695,61 @@ def phase_bfs_genome() -> None:
     sys.stdout.flush()
 
 
+def phase_classify() -> None:
+    """reads-classifier end-to-end throughput (host path: native whole-read
+    parse + probe-table lookups + vectorized blob FASTQ bins). 200K reads
+    (100K pairs, half in-graph) -- a scaled-down scripts/bench_classify.py
+    so the number lands in the driver artifact. Reference:
+    src/tools/ReadsClassifier.java:138-223 (one task per pair, per-record
+    I/O)."""
+    _setup_cache()
+    os.environ["MC_PLATFORM"] = "cpu"  # host-only phase: never touch the TPU
+    import numpy as np
+    import tempfile
+    import metacherchant_tpu  # noqa: F401
+    from metacherchant_tpu.runner import main as runner_main
+
+    n_pairs, read_len, k = 100_000, 100, 31
+    tmp = tempfile.mkdtemp(prefix="mc_bench_classify_")
+    rng = np.random.default_rng(0)
+    alphabet = np.frombuffer(b"ACGT", np.uint8)
+    genome = alphabet[rng.integers(0, 4, size=400_000)]
+
+    def synth(path, seed):
+        r = np.random.default_rng(seed)
+        starts = r.integers(0, genome.size - read_len, size=n_pairs)
+        in_graph = r.random(n_pairs) < 0.5
+        with open(path, "w") as f:
+            for i in range(n_pairs):
+                s = (genome[starts[i]:starts[i] + read_len] if in_graph[i]
+                     else alphabet[r.integers(0, 4, size=read_len)])
+                f.write(f"@r{i}\n{s.tobytes().decode()}\n+\n"
+                        f"{'I' * read_len}\n")
+
+    synth(os.path.join(tmp, "r1.fastq"), 1)
+    synth(os.path.join(tmp, "r2.fastq"), 2)
+    os.environ["MC_HOST_COUNT"] = "1"  # graph build is not what we measure
+    runner_main(["-t", "kmer-counter", "-k", str(k),
+                 "-i", os.path.join(tmp, "r1.fastq"),
+                 "--work-dir", os.path.join(tmp, "wd_kc")])
+    kbin = os.path.join(tmp, "wd_kc", "kmers", "r1.kmers.bin")
+    log(f"classify workload staged: {2 * n_pairs} reads")
+
+    t0 = time.perf_counter()
+    runner_main(["-t", "reads-classifier", "-k", str(k), "-i", kbin,
+                 "-r", os.path.join(tmp, "r1.fastq"),
+                 os.path.join(tmp, "r2.fastq"),
+                 "-o", os.path.join(tmp, "out"),
+                 "--work-dir", os.path.join(tmp, "wd_rc")])
+    dt = time.perf_counter() - t0
+    total = 2 * n_pairs
+    log(f"classified {total} reads in {dt:.1f}s")
+    print(json.dumps({"metric": "classify_reads_per_s",
+                      "value": round(total / dt, 1), "unit": "reads/s",
+                      "engine": "host-vectorized", "reads": total}))
+    sys.stdout.flush()
+
+
 def main() -> int:
     if "--phase" in sys.argv:
         which = sys.argv[sys.argv.index("--phase") + 1]
@@ -707,6 +763,9 @@ def main() -> int:
             return 0
         if which == "bfs-genome":
             phase_bfs_genome()
+            return 0
+        if which == "classify":
+            phase_classify()
             return 0
         if which == "warmunit":
             unit = sys.argv[sys.argv.index("--unit") + 1]
