@@ -230,7 +230,8 @@ def run_device_bfs(seed_codes: np.ndarray, kmap_or_table, k: int,
         frontier_cap, visited_log2)
     if bool(overflow):
         raise RuntimeError("device BFS frontier overflow")
-    vk = np.asarray(vset)
+    from .sortcount import to_host
+    vk = to_host(vset)
     out = vk[vk != EMPTY]
     out.sort()
     return out

@@ -135,8 +135,9 @@ def contract_device(kmers: list[str], k: int, tag_of=None,
     tags = np.asarray(tag_values, np.int32)
     U, utags, head, dist = contract_codes_device(
         jnp.asarray(codes), jnp.asarray(tags), k)
-    U, utags = np.asarray(U), np.asarray(utags)
-    head, dist = np.asarray(head), np.asarray(dist)
+    from .sortcount import to_host
+    U, utags = to_host(U), to_host(utags)
+    head, dist = to_host(head), to_host(dist)
 
     unitigs = assemble_unitigs(U, head, dist, k)
     id_of_tag = {v: t for t, v in tag_ids.items()}

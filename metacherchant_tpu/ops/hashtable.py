@@ -278,10 +278,11 @@ class DeviceHashTable:
 
     def items_host(self) -> tuple[np.ndarray, np.ndarray]:
         """All (key, count) pairs, key-sorted, counts clamped at 32767."""
+        from .sortcount import to_host
         n = self.size
         dk, dc = self.items_device()
-        k = np.asarray(dk[:max(n, 1)])[:n]
-        c = np.asarray(dc[:max(n, 1)])[:n]
+        k = to_host(dk[:max(n, 1)])[:n]
+        c = to_host(dc[:max(n, 1)])[:n]
         return k, np.minimum(c, SATURATION).astype(np.int32)
 
 

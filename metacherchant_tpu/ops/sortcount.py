@@ -379,6 +379,23 @@ def fast_scalar(x) -> int:
     return int(np.asarray(jax.device_put(x, cpu)))
 
 
+def to_host(x) -> np.ndarray:
+    """Device array -> numpy via the cross-backend copy.
+
+    Same rationale as fast_scalar, measured round 4 for bulk: a direct
+    np.asarray of a 16 MB device array took 132 s on this rig's tunnel;
+    device_put to the CPU backend moves it in ~1 s. On a normal TPU host
+    both are equivalent."""
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    try:
+        cpu = jax.devices("cpu")[0]
+        return np.asarray(jax.device_put(x, cpu))
+    except Exception:
+        # sharded / non-addressable arrays (multi-host) take the direct path
+        return np.asarray(x)
+
+
 class StreamCounter:
     """Device streaming counter with a loop-free, loss-proof hot path.
 
@@ -487,8 +504,8 @@ class StreamCounter:
         """Returns key-sorted (keys, counts) on host, counts clamped at 32767."""
         self._consolidate()
         self._resolve()
-        sk = np.asarray(self.store_keys[: max(self._live, 1)])[: self._live]
-        sc = np.asarray(self.store_cnts[: max(self._live, 1)])[: self._live]
+        sk = to_host(self.store_keys[: max(self._live, 1)])[: self._live]
+        sc = to_host(self.store_cnts[: max(self._live, 1)])[: self._live]
         order = np.argsort(sk, kind="stable")
         return sk[order], np.minimum(sc[order], 32767).astype(np.int32)
 
@@ -578,7 +595,7 @@ class ChunkedCounter:
 
     def finalize(self) -> tuple[np.ndarray, np.ndarray]:
         self._flush()
-        sk = np.asarray(self.store_keys[: max(self._live, 1)])[: self._live]
-        sc = np.asarray(self.store_cnts[: max(self._live, 1)])[: self._live]
+        sk = to_host(self.store_keys[: max(self._live, 1)])[: self._live]
+        sc = to_host(self.store_cnts[: max(self._live, 1)])[: self._live]
         order = np.argsort(sk, kind="stable")
         return sk[order], np.minimum(sc[order], 32767).astype(np.int32)

@@ -294,9 +294,10 @@ class ShardedCounter:
             self.add_codes(empty)
 
     def items_host(self) -> tuple[np.ndarray, np.ndarray]:
+        from ..ops.sortcount import to_host
         self.drain()
-        tk = np.asarray(self.tkeys).ravel()
-        tc = np.asarray(self.tcnts).ravel()
+        tk = to_host(self.tkeys).ravel()
+        tc = to_host(self.tcnts).ravel()
         live = tk != SENTINEL
         keys, cnts = tk[live], tc[live]
         order = np.argsort(keys, kind="stable")
