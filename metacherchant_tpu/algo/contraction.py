@@ -59,16 +59,19 @@ def build_node_graph(kmers: Iterable[str], k: int,
     """initializeStructures (OneSequenceCalculator.java:387-419): two nodes per
     canonical k-mer + (k-1)-prefix index adjacency. `kmers` iteration order
     defines ids."""
+    kmer_list = kmers if isinstance(kmers, list) else list(kmers)
+    rcs = _bulk_reverse_complement(kmer_list, k)
     nodes: list[Node] = []
-    for seq in kmers:
-        rc = reverse_complement(seq)
+    nid = 0
+    for seq, rc in zip(kmer_list, rcs):
         gene = bool(is_gene(seq, rc)) if is_gene else False
         color = color_of(seq) if color_of else ("GREEN" if gene else None)
         graphs = graphs_of(seq) if graphs_of else None
-        a = Node(seq, len(nodes), gene, color, graphs)
-        b = Node(rc, len(nodes) + 1, gene, color, graphs)
+        a = Node(seq, nid, gene, color, graphs)
+        b = Node(rc, nid + 1, gene, color, graphs)
         a.rc, b.rc = b, a
         nodes.extend((a, b))
+        nid += 2
     by_prefix: dict[str, list[Node]] = {}
     for n in nodes:
         by_prefix.setdefault(n.seq[: k - 1], []).append(n)
@@ -78,6 +81,28 @@ def build_node_graph(kmers: Iterable[str], k: int,
         if hit:
             n.rc.neighbors.extend(hit)
     return nodes
+
+
+def _bulk_reverse_complement(kmer_list: list[str], k: int) -> list[str]:
+    """Reverse-complement a whole k-mer list in one numpy pass (identical to
+    per-string reverse_complement; order preserved). Falls back to the
+    scalar path for ragged/empty input."""
+    import numpy as np
+    n = len(kmer_list)
+    if n == 0 or any(len(s) != k for s in kmer_list[:1]):
+        return [reverse_complement(s) for s in kmer_list]
+    try:
+        arr = np.frombuffer("".join(kmer_list).encode("ascii"),
+                            np.uint8).reshape(n, k)
+    except ValueError:  # ragged lengths (shouldn't happen for k-mers)
+        return [reverse_complement(s) for s in kmer_list]
+    lut = np.zeros(256, np.uint8)
+    for a, b in zip(b"ACGTacgt", b"TGCATGCA"):
+        lut[a] = b
+    if not np.all(lut[arr] > 0):  # non-ACGT character: scalar oracle
+        return [reverse_complement(s) for s in kmer_list]
+    big = lut[arr][:, ::-1].tobytes().decode("ascii")
+    return [big[i:i + k] for i in range(0, n * k, k)]
 
 
 def _default_tag(n: Node) -> Hashable:
