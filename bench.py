@@ -356,9 +356,19 @@ def phase_main(which: str, geom: str) -> None:
             return
         run_chain(2)
         log("compile warm")
-        t_small = run_chain(M_SMALL)
-        t_big = run_chain(M_BIG)
-        diff = t_big - t_small
+        # paired differences: the tunnel's fixed per-chain cost (probe wire
+        # latency) drifts run-to-run (primary spread 77-104 M/s observed
+        # round 4 with one unpaired difference), but consecutive chains see
+        # correlated latency -- so measure (small, big) back-to-back pairs
+        # and take the median of the per-pair differences
+        diffs = []
+        for _ in range(3):
+            t_small = run_chain(M_SMALL)
+            t_big = run_chain(M_BIG)
+            diffs.append(t_big - t_small)
+        diffs.sort()
+        diff = diffs[1]
+        t_big = max(t_big, 1e-9)
         if diff < max(0.05 * t_big, 0.2):
             # difference in the noise (steps too cheap vs fixed probe cost):
             # report the conservative absolute rate of the big chain instead
@@ -545,7 +555,7 @@ def phase_bfs_device() -> None:
     log(f"host dispersed: {nh} kmers {dt_h:.3f}s")
     print(json.dumps({"metric": "bfs_node_expansions_per_s_host_dispersed",
                       "value": round(nh / dt_h, 1), "unit": "expansions/s",
-                      "engine": "host-python-fifo",
+                      "engine": "host-native",
                       "workload": "dispersed-seeds(wide-frontier)"}))
     sys.stdout.flush()
 
