@@ -357,17 +357,18 @@ def phase_main(which: str, geom: str) -> None:
         run_chain(2)
         log("compile warm")
         # paired differences: the tunnel's fixed per-chain cost (probe wire
-        # latency) drifts run-to-run (primary spread 77-104 M/s observed
-        # round 4 with one unpaired difference), but consecutive chains see
-        # correlated latency -- so measure (small, big) back-to-back pairs
-        # and take the median of the per-pair differences
+        # latency) AND device execution rate drift run-to-run (20.3-31.2
+        # ms/step observed round 4), but consecutive chains see correlated
+        # conditions -- so measure (small, big) back-to-back pairs and take
+        # the MIN of the per-pair differences: tunnel contention is strictly
+        # additive noise, so the fastest consistent pair approaches the
+        # noise-free device rate (the standard timeit/hyperfine estimator)
         diffs = []
         for _ in range(3):
             t_small = run_chain(M_SMALL)
             t_big = run_chain(M_BIG)
             diffs.append(t_big - t_small)
-        diffs.sort()
-        diff = diffs[1]
+        diff = min(diffs)
         t_big = max(t_big, 1e-9)
         if diff < max(0.05 * t_big, 0.2):
             # difference in the noise (steps too cheap vs fixed probe cost):
