@@ -574,7 +574,7 @@ def phase_bfs_device() -> None:
     seeds_pad = np.full(scap, SENTINEL, np.int64)
     seeds_pad[: seeds.size] = seeds
     seeds_dev = jnp.asarray(seeds_pad)
-    visited_log2 = int(np.ceil(np.log2(2 * ukeys.size / 0.5 + 2)))
+    visited_log2 = int(np.ceil(np.log2(2 * ukeys.size / 0.25 + 2)))
     fcap = 1 << 15
 
     def run_dev(r):

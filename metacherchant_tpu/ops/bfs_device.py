@@ -100,32 +100,39 @@ def _set_lookup(skeys: jax.Array, q: jax.Array) -> jax.Array:
 
 
 def _set_insert(skeys: jax.Array, bkeys: jax.Array):
-    """Insert unique keys into the set; returns (skeys, n_new)."""
+    """Insert unique keys into the set; returns (skeys, n_new, winner_mask).
+
+    winner_mask[i] is True iff bkeys[i] was NEWLY inserted -- callers use it
+    as a combined membership-test-and-insert, which saves the BFS layer a
+    whole separate _set_lookup while_loop of random gathers (the dominant
+    per-layer cost on this rig: ~54 ns/lane per probe round)."""
     C = skeys.shape[0]
     cmask = jnp.uint64(C - 1)
     active0 = bkeys != EMPTY
     slot0 = (_mix64(bkeys) & cmask).astype(jnp.int32)
+    winner0 = jnp.zeros(bkeys.shape, bool)
 
     def cond(s):
         _, active, _, r, _ = s
         return jnp.logical_and(jnp.any(active), r < C)
 
     def body(s):
-        skeys, active, slot, r, new = s
+        skeys, active, slot, r, winners = s
         cur = skeys[slot]
         match = jnp.logical_and(active, cur == bkeys)
         empty = jnp.logical_and(active, cur == EMPTY)
         claim = jnp.where(empty, slot, C)
         skeys = skeys.at[claim].set(bkeys, mode="drop")
         winner = jnp.logical_and(empty, skeys[slot] == bkeys)
+        winners = jnp.logical_or(winners, winner)
         done = jnp.logical_or(match, winner)
         active = jnp.logical_and(active, jnp.logical_not(done))
         slot = jnp.where(active, (slot + 1) & jnp.int32(C - 1), slot)
-        return skeys, active, slot, r + 1, new + jnp.sum(winner).astype(jnp.int32)
+        return skeys, active, slot, r + 1, winners
 
-    skeys, _, _, _, new = jax.lax.while_loop(
-        cond, body, (skeys, active0, slot0, jnp.int32(0), jnp.int32(0)))
-    return skeys, new
+    skeys, _, _, _, winners = jax.lax.while_loop(
+        cond, body, (skeys, active0, slot0, jnp.int32(0), winner0))
+    return skeys, jnp.sum(winners).astype(jnp.int32), winners
 
 
 def _unique_pad(keys: jax.Array) -> jax.Array:
@@ -151,7 +158,7 @@ def device_bfs(seeds: jax.Array, tkeys: jax.Array, tcnts: jax.Array,
     vcap = 1 << visited_log2
     vset = jnp.full((vcap,), EMPTY, jnp.int64)
     useeds = _unique_pad(seeds)
-    vset, n0 = _set_insert(vset, useeds)
+    vset, n0, _ = _set_insert(vset, useeds)
     frontier = jnp.full((frontier_cap,), SENTINEL, jnp.int64)
     frontier = jax.lax.dynamic_update_slice(
         frontier, _unique_pad(useeds)[: min(seeds.shape[0], frontier_cap)], (0,))
@@ -168,12 +175,12 @@ def device_bfs(seeds: jax.Array, tkeys: jax.Array, tcnts: jax.Array,
         eligible = occs >= min_occ
         cand = jnp.where(eligible, cand, SENTINEL)
         cand = _unique_pad(cand)                               # sorted, deduped
-        seen = _set_lookup(vset, cand)
-        fresh = jnp.where(seen, SENTINEL, cand)
+        # combined membership-test-and-insert: winners are exactly the
+        # not-previously-visited candidates (one probe loop, not two)
+        vset, new, winner = _set_insert(vset, cand)
+        fresh = jnp.where(winner, cand, SENTINEL)
         fresh = jnp.sort(fresh)                                # compact front
-        n_fresh = jnp.sum(fresh != SENTINEL)
-        overflow = jnp.logical_or(overflow, n_fresh > frontier_cap)
-        vset, new = _set_insert(vset, fresh)
+        overflow = jnp.logical_or(overflow, new > frontier_cap)
         next_frontier = jax.lax.dynamic_slice(fresh, (0,), (frontier_cap,))
         return next_frontier, vset, count + new, d + 1, overflow
 
@@ -218,7 +225,7 @@ def run_device_bfs(seed_codes: np.ndarray, kmap_or_table, k: int,
     scap = 1 << int(np.ceil(np.log2(seed_codes.size + 1)))
     seeds = np.full(scap, SENTINEL, np.int64)
     seeds[: seed_codes.size] = seed_codes
-    visited_log2 = max(int(np.ceil(np.log2(2 * est / 0.5 + 2))), 6)
+    visited_log2 = max(int(np.ceil(np.log2(2 * est / 0.25 + 2))), 6)
     if frontier_cap is None:
         frontier_cap = 1 << max(int(np.ceil(np.log2(2 * est + 2))), 6)
     else:

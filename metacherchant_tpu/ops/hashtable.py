@@ -195,7 +195,10 @@ class DeviceHashTable:
         """One-shot build of a read-only device table from a KmerMap."""
         import numpy as np
         n = max(len(kmap), 1)
-        cap_log2 = max(int(np.ceil(np.log2(n / 0.5 + 1))), 4)
+        # load 0.25: probe rounds are the dominant BFS layer cost
+        # (random gathers, BENCH_NOTES r4); halving the load nearly
+        # halves the while_loop's worst-lane round count
+        cap_log2 = max(int(np.ceil(np.log2(n / 0.25 + 1))), 4)
         table = cls(capacity_log2=cap_log2)
         pad = 1 << int(np.ceil(np.log2(n + 1)))
         bk = np.full(pad, EMPTY, np.int64)

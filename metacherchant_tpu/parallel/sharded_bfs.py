@@ -74,7 +74,7 @@ def make_sharded_bfs(mesh: Mesh, k: int, direction: int, frontier_cap: int,
         seeds, tkeys, tcnts = seeds[0], tkeys[0], tcnts[0]
         vset = jnp.full((vcap,), EMPTY, jnp.int64)
         useeds = _unique_pad(seeds)
-        vset, n0 = _set_insert(vset, useeds)
+        vset, n0, _ = _set_insert(vset, useeds)
         frontier = jnp.full((frontier_cap,), SENTINEL, jnp.int64)
         ncopy = min(useeds.shape[0], frontier_cap)
         frontier = jax.lax.dynamic_update_slice(
@@ -101,7 +101,7 @@ def make_sharded_bfs(mesh: Mesh, k: int, direction: int, frontier_cap: int,
             fresh = jnp.sort(jnp.where(seen, SENTINEL, rk))
             n_fresh = jnp.sum(fresh != SENTINEL)
             ovf2 = n_fresh > frontier_cap
-            vset, new = _set_insert(vset, fresh)
+            vset, new, _ = _set_insert(vset, fresh)
             next_frontier = jax.lax.dynamic_slice(fresh, (0,), (frontier_cap,))
             overflow = overflow | jax.lax.psum(
                 (ovf1 | ovf2).astype(jnp.int32), axis) > 0
