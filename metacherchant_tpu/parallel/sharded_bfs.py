@@ -34,7 +34,7 @@ from jax import shard_map
 from ..ops.kmers import SENTINEL
 from ..ops.hashtable import _mix64, EMPTY, _insert_unique_impl
 from ..ops.bfs_device import (
-    _neighbors_dev, _canonical_dev, _set_lookup, _set_insert, _unique_pad,
+    _neighbors_dev, _canonical_dev, _set_insert, _unique_pad,
     _table_lookup)
 
 
@@ -97,11 +97,11 @@ def make_sharded_bfs(mesh: Mesh, k: int, direction: int, frontier_cap: int,
             occs = _table_lookup(tkeys, tcnts, _canonical_dev(rk, k))
             rk = jnp.where(occs >= min_occ, rk, SENTINEL)
             rk = _unique_pad(rk)
-            seen = _set_lookup(vset, rk)
-            fresh = jnp.sort(jnp.where(seen, SENTINEL, rk))
-            n_fresh = jnp.sum(fresh != SENTINEL)
-            ovf2 = n_fresh > frontier_cap
-            vset, new, _ = _set_insert(vset, fresh)
+            # combined membership-test-and-insert (winner mask): one probe
+            # loop per layer instead of two (as ops/bfs_device.py round 4)
+            vset, new, winner = _set_insert(vset, rk)
+            fresh = jnp.sort(jnp.where(winner, rk, SENTINEL))
+            ovf2 = new > frontier_cap
             next_frontier = jax.lax.dynamic_slice(fresh, (0,), (frontier_cap,))
             overflow = overflow | jax.lax.psum(
                 (ovf1 | ovf2).astype(jnp.int32), axis) > 0
