@@ -1,39 +1,42 @@
-"""Benchmark: all three BASELINE.md metrics on the real TPU chip.
+"""Benchmark: the BASELINE.md metrics on the real TPU chip.
 
 Prints ONE JSON line to stdout:
   {"metric": "kmer_count_throughput", "value": N, "unit": "kmers/s/chip",
    "vs_baseline": N/4e7, "extra": {...}}
-where extra carries the secondary BASELINE metrics (BFS node-expansions/s and
-time-to-env.txt on the wiki-scale workload, host + device engines).
-Progress goes to stderr.
+where extra carries the secondary metrics: time-to-env.txt (wiki fixpoint
+AND genome-scale end-to-end), BFS expansions+probes per second (host and
+device engines, deep-narrow and dispersed-wide workloads), and classifier
+reads/s. Progress goes to stderr.
 
 Primary measurement: the DEFAULT counting engine (ops/sortcount.StreamCounter
-with the SPLIT consolidation: bare 2-operand lax.sort units + scan-only RLE,
-see _consolidate_full_split) end-to-end via the difference method:
-    T(m_big) - T(m_small) over identical fresh state, where each run ends
-    with a final consolidation and one tiny cross-backend probe readback.
-Compile time and probe latency cancel in the difference.
+with the split consolidation: bare 2-operand lax.sort + cumsum-difference
+RLE + compaction sort, see _consolidate_full_split) end-to-end via paired
+differences: MIN over 3 back-to-back (small, big) chain pairs of
+T(m_big) - T(m_small); each chain ends with a final consolidation and one
+tiny cross-backend probe readback, so compile time and probe latency cancel
+within a pair and the min rejects the tunnel's additive noise.
 
 Orchestration: with no --phase argument this script is a thin stdlib-only
-parent that runs each measurement phase as a KILLABLE SUBPROCESS under a hard
-wall budget (this rig's remote compile service can hang indefinitely on large
-fused graphs; a kill -9 from the parent is the only reliable interrupt). The
-first phase is a WARM pass that only compiles the primary-geometry kernels
-into the persistent cache (.jax_cache) so the measurement phase never pays a
-cold compile; partial stdout of killed phases is still parsed. Counting
-ladder (first phase to emit kmer_count_throughput wins):
-  1. primary, full geometry (buffer 2^23 keys, store 2^21 distinct)
-  2. primary, small geometry (2^20/2^20)
+parent that runs each phase as a KILLABLE SUBPROCESS under a hard wall
+budget (this rig's remote compile service can hang indefinitely; a kill -9
+from the parent is the only reliable interrupt). First, per-unit WARM
+subprocesses compile each pipeline unit at the measured geometries into the
+persistent cache (.jax_cache); partial stdout of killed phases is still
+parsed. Counting ladder (first phase to emit kmer_count_throughput wins):
+  1. primary, default geometry (sort2 = 2^24 lanes, batch 8192)
+  2. primary, small geometry (sort2 = 2^23, batch 4096)
   3. primary, tiny geometry (2^19/2^19, batch 2048)
   4. extract+dedup chain / extraction-only chain
-All phases are DCE-proofed (full-tensor folds / final consolidation + a tiny
-cross-backend probe feed the timed chain).
+then bfs-host / bfs-genome / bfs-device / classify phases, each emitting
+its metrics line-by-line the moment they are measured (a killed phase
+keeps everything it printed). All phases are DCE-proofed (full-tensor
+folds / final consolidation + a tiny cross-backend probe feed the chain).
 
 vs_baseline is anchored to EST_JAVA_RATE, an estimate of the reference's
 multithreaded JVM counting throughput (striped hash map insert hot loop,
 itmo:structures/map/Long2ShortHashMap.java:119-157 addAndBound; ~40M
 canonical k-mers/s on a 32-core host). The reference publishes no numbers
-(BASELINE.md).
+(BASELINE.md; a live JVM run is impossible in this image -- no JRE).
 """
 import json
 import os
