@@ -578,7 +578,7 @@ def phase_bfs_device() -> None:
     seeds_pad[: seeds.size] = seeds
     seeds_dev = jnp.asarray(seeds_pad)
     visited_log2 = int(np.ceil(np.log2(2 * ukeys.size / 0.25 + 2)))
-    fcap = 1 << 15
+    fcap = 1 << 14
 
     def run_dev(r):
         t0 = time.perf_counter()

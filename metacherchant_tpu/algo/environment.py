@@ -275,14 +275,16 @@ def route_device_bfs(n_seeds: int, max_radius: int | None,
       MC_DEVICE_BFS_MAX_RADIUS (default 2000).
 
     Threshold provenance (MEASURED round 4, bench.py --phase bfs-device, the
-    first recorded on-chip run): dispersed 4096-seed radius-50 workload over
-    a 400K-kmer map ran 30.0 s on device vs 0.157 s host C++ FIFO -- the
-    per-layer device cost (~600 ms) is dominated by random-gather probe
-    rounds in the visited-set and count-table while_loops (~54 ns/lane HBM
-    gather x multiple rounds x 3 loops/layer), a flat cost the host engine
-    (~0.6 us/expansion) only matches at frontiers near 10^6 lanes/layer.
-    Hence the default min-seeds of 500K: the device engine is profitable
-    only for massive simultaneous floods, not per-gene environments.
+    first recorded on-chip runs): dispersed 4096-seed radius-50 workload
+    over a 400K-kmer map ran 30.0 s on device vs 0.16 s host C++ FIFO;
+    after the combined insert-and-membership-test, 0.25-load tables, and a
+    right-sized frontier cap the same workload runs 4.9 s -- still ~32x
+    slower than host. The per-layer device cost is random-gather probe
+    rounds (~54 ns/lane HBM gather) over frontier_cap x 8 static lanes,
+    which the host engine (~0.6 us/expansion) only matches at frontiers
+    around 10^5+ lanes/layer. Hence the (conservative) default min-seeds of
+    500K: the device engine is profitable only for massive simultaneous
+    floods, not per-gene environments.
     """
     import os
     if max_kmers is not None or trim:
