@@ -482,7 +482,10 @@ def phase_bfs_host() -> None:
     log(f"host env: {n} kmers best {dt:.3f}s")
     print(json.dumps({"metric": "time_to_env_txt_wiki_example",
                       "value": round(dt, 3), "unit": "s",
-                      "engine": "host-native"}))
+                      "engine": "host-native",
+                      "caveat": ("fixpoint: map rebuilt from the golden "
+                                 "graph.txt (reference ships no wgs reads); "
+                                 "reads->env is the genome_scale metric")}))
     print(json.dumps({"metric": "bfs_node_expansions_per_s",
                       "value": round(n / dt, 1), "unit": "expansions/s",
                       "engine": "host-native", "workload": "wiki(deep-narrow)"}))

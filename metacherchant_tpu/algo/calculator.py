@@ -76,7 +76,15 @@ def create_picture(subgraph: dict[str, int], gene_sequences: list[str], k: int,
     contraction (same policy + thresholds as the FMT pictures, algo/fmt.py;
     measured crossover: device 3.38 s vs host sweep 5.61 s at 400K k-mers,
     BENCH_NOTES r4). Typical capped per-gene environments stay on the
-    reference-faithful host sweep."""
+    reference-faithful host sweep.
+
+    DOCUMENTED DIVERGENCE (ADVICE r4): the device route produces the same
+    unitig SET as the host sweep but may differ in seqs.fasta/graph.gfa/tsv
+    record ORDER and per-unitig strand choice (both engines pick valid but
+    different orientations). Graph topology, sequence content, LN/KC values
+    and record counts are identical; pinned by the threshold-crossing CLI
+    test (tests/test_contraction_device.py::test_cli_auto_route_crossing).
+    Set MC_DEVICE_CONTRACT=0 for byte-stable host output at any size."""
     import os
     kmer_list = sorted(subgraph)
     is_gene = gene_kmer_checker(gene_sequences, k)

@@ -157,7 +157,13 @@ def iter_read_batch_pairs(files: list[str], batch: int):
                                                 and native.available()):
             return None
         try:
-            if os.path.getsize(path) > max_bytes:
+            size = os.path.getsize(path)
+            # the cap bounds HOST MEMORY (~3 bytes/base of decoded arrays),
+            # so compare the DECOMPRESSED size: gzip files expand ~4x for
+            # FASTQ text, so divide the cap accordingly (ADVICE r4: a .gz
+            # just under the byte cap can expand to ~8-16 GiB of arrays)
+            budget = max_bytes // 4 if path.endswith(".gz") else max_bytes
+            if size > budget:
                 return None
         except OSError:
             return None

@@ -89,13 +89,13 @@ def _bulk_reverse_complement(kmer_list: list[str], k: int) -> list[str]:
     scalar path for ragged/empty input."""
     import numpy as np
     n = len(kmer_list)
-    if n == 0 or any(len(s) != k for s in kmer_list[:1]):
+    # validate EVERY length, not just the first: a ragged list whose total
+    # character count happens to equal n*k would reshape "successfully" and
+    # silently return wrong results (ADVICE r4)
+    if n == 0 or any(len(s) != k for s in kmer_list):
         return [reverse_complement(s) for s in kmer_list]
-    try:
-        arr = np.frombuffer("".join(kmer_list).encode("ascii"),
-                            np.uint8).reshape(n, k)
-    except ValueError:  # ragged lengths (shouldn't happen for k-mers)
-        return [reverse_complement(s) for s in kmer_list]
+    arr = np.frombuffer("".join(kmer_list).encode("ascii"),
+                        np.uint8).reshape(n, k)
     lut = np.zeros(256, np.uint8)
     for a, b in zip(b"ACGTacgt", b"TGCATGCA"):
         lut[a] = b

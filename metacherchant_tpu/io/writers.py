@@ -35,6 +35,20 @@ def write_graph_txt(path: str, env_dict: dict[str, int]) -> None:
             out.write(f"{kmer} {env_dict[kmer]}\n")
 
 
+_POW10 = 10 ** np.arange(19, dtype=np.int64)  # int64 holds < 10^19
+
+
+def _digits(nums: np.ndarray) -> np.ndarray:
+    """Decimal digit count of nonnegative int64s via integer thresholds.
+
+    floor(log10(n))+1 is float-rounding dependent (ADVICE r4: log10 of
+    999999999999999 rounds up on this machine); searchsorted on the exact
+    power-of-ten table is branch-free and always right. 0 -> 1 digit."""
+    return np.maximum(
+        np.searchsorted(_POW10, np.asarray(nums, np.int64), side="right"), 1
+    ).astype(np.int64)
+
+
 def write_graph_txt_codes(path: str, codes: np.ndarray, counts: np.ndarray,
                           k: int) -> None:
     """Vectorized write_graph_txt straight from oriented k-mer codes:
@@ -55,9 +69,7 @@ def write_graph_txt_codes(path: str, codes: np.ndarray, counts: np.ndarray,
     order = np.lexsort(chars.T[::-1])
     chars = chars[order]
     cnts = counts[order]
-    d = np.where(cnts > 0,
-                 np.floor(np.log10(np.maximum(cnts, 1))).astype(np.int64) + 1,
-                 1)
+    d = _digits(cnts)
     maxd = int(d.max())
     divs = 10 ** np.arange(maxd - 1, -1, -1, dtype=np.int64)
     dig = ((cnts[:, None] // divs[None, :]) % 10 + ord("0")).astype(np.uint8)
@@ -280,7 +292,7 @@ def format_fastq_blob(codes: np.ndarray, phred: np.ndarray,
                  + offset).astype(np.uint8)[mask]
 
     nums = np.arange(start_n, start_n + nb, dtype=np.int64)
-    d = (np.floor(np.log10(nums)).astype(np.int64) + 1)  # digits (nums >= 1)
+    d = _digits(nums)  # digit counts (nums >= 1)
 
     def digit_mat(sub_nums: np.ndarray, dd: int) -> np.ndarray:
         """(len, dd) uint8 ASCII digits of numbers that all have dd digits."""

@@ -77,18 +77,32 @@ bool read_all(const char* path, std::string* buf, std::string* err) {
 struct LineIter {
   const char* p;
   const char* end;
-  // returns [b, e) trimmed of trailing \r; false at EOF
+  // returns [b, e) trimmed of surrounding whitespace (the Python oracles
+  // strip() every line, so trailing spaces/tabs must not become N bases);
+  // false at EOF
   bool next(const char** b, const char** e) {
     if (p >= end) return false;
     *b = p;
     const char* nl = (const char*)memchr(p, '\n', end - p);
     const char* stop = nl ? nl : end;
     p = nl ? nl + 1 : end;
-    while (stop > *b && (stop[-1] == '\r')) --stop;
+    while (stop > *b &&
+           (stop[-1] == '\r' || stop[-1] == ' ' || stop[-1] == '\t')) --stop;
+    const char* start = *b;
+    while (start < stop &&
+           (*start == ' ' || *start == '\t' || *start == '\r')) ++start;
+    *b = start;
     *e = stop;
     return true;
   }
 };
+
+// malloc-or-error helper: ADVICE r4 flagged the unchecked malloc returns
+void* xmalloc(size_t n, char* errbuf, int errlen) {
+  void* p = malloc(n ? n : 1);
+  if (!p) snprintf(errbuf, errlen, "out of memory (%zu bytes)", n);
+  return p;
+}
 
 }  // namespace
 
@@ -173,9 +187,12 @@ int fastio_parse(const char* path, int format, int qoffset, int8_t** codes_out,
 
   *n_frags = (int64_t)out.offsets.size() - 1;
   *total = (int64_t)out.codes.size();
-  *codes_out = (int8_t*)malloc(out.codes.size() ? out.codes.size() : 1);
+  *codes_out = (int8_t*)xmalloc(out.codes.size(), errbuf, errlen);
+  if (!*codes_out) return 3;
   memcpy(*codes_out, out.codes.data(), out.codes.size());
-  *offsets_out = (int64_t*)malloc(out.offsets.size() * sizeof(int64_t));
+  *offsets_out =
+      (int64_t*)xmalloc(out.offsets.size() * sizeof(int64_t), errbuf, errlen);
+  if (!*offsets_out) { free(*codes_out); return 3; }
   memcpy(*offsets_out, out.offsets.data(),
          out.offsets.size() * sizeof(int64_t));
   return 0;
@@ -230,12 +247,16 @@ int fastio_parse_reads(const char* path, int qoffset, int8_t** codes_out,
 
   *n_reads = (int64_t)offsets.size() - 1;
   *total = (int64_t)codes.size();
-  *codes_out = (int8_t*)malloc(codes.size() ? codes.size() : 1);
+  *codes_out = (int8_t*)xmalloc(codes.size(), errbuf, errlen);
+  if (!*codes_out) return 3;
   memcpy(*codes_out, codes.data(), codes.size());
-  *phred_out = (int16_t*)malloc((phred.size() ? phred.size() : 1)
-                                * sizeof(int16_t));
+  *phred_out =
+      (int16_t*)xmalloc(phred.size() * sizeof(int16_t), errbuf, errlen);
+  if (!*phred_out) { free(*codes_out); return 3; }
   memcpy(*phred_out, phred.data(), phred.size() * sizeof(int16_t));
-  *offsets_out = (int64_t*)malloc(offsets.size() * sizeof(int64_t));
+  *offsets_out =
+      (int64_t*)xmalloc(offsets.size() * sizeof(int64_t), errbuf, errlen);
+  if (!*offsets_out) { free(*codes_out); free(*phred_out); return 3; }
   memcpy(*offsets_out, offsets.data(), offsets.size() * sizeof(int64_t));
   return 0;
 }

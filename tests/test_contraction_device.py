@@ -130,3 +130,39 @@ def test_colored_picture_device_matches_host(tmp_path, monkeypatch):
 
     assert content(dev) == content(host)
     assert _edges(dev, k) == _edges(host, k)
+
+
+def test_cli_auto_route_crossing(tmp_path, monkeypatch):
+    """Pin the MC_DEVICE_CONTRACT_MIN auto-route boundary in create_picture
+    (the per-gene pictures path, ADVICE r4): just below the threshold the
+    host sweep runs; at/above it the device engine runs, with the same
+    unitig set/edges and S record count, while seqs.fasta byte order MAY
+    diverge (documented in create_picture's docstring)."""
+    import os
+    from metacherchant_tpu.algo.calculator import create_picture
+
+    k = 21
+    kmers, genome = _random_kmers(5, k)
+    sub = {s: 3 for s in kmers}
+    gene = [genome[:60]]
+    monkeypatch.delenv("MC_DEVICE_CONTRACT", raising=False)
+
+    def run(tag, auto_min):
+        out = tmp_path / tag
+        out.mkdir()
+        monkeypatch.setenv("MC_DEVICE_CONTRACT_MIN", str(auto_min))
+        create_picture(sub, gene, k, str(out), chunk_length=10_000)
+        seqs = (out / "seqs.fasta").read_text()
+        return {normalize(s) for s in seqs.split("\n")
+                if s and not s.startswith(">")}, seqs
+
+    # below threshold -> host sweep; identical to an explicitly-host run
+    below, seqs_below = run("below", len(sub) + 1)
+    monkeypatch.setenv("MC_DEVICE_CONTRACT", "0")
+    host, seqs_host = run("host", 1)
+    monkeypatch.delenv("MC_DEVICE_CONTRACT")
+    assert seqs_below == seqs_host  # threshold not crossed: byte-stable
+    # at threshold -> device engine: same unitig set, same record count
+    above, seqs_above = run("above", len(sub))
+    assert above == below
+    assert seqs_above.count(">") == seqs_below.count(">")
