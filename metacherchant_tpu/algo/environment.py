@@ -258,33 +258,34 @@ def route_device_bfs(n_seeds: int, max_radius: int | None,
                      max_kmers: int | None, trim: bool) -> bool:
     """Engine routing: host FIFO (native C++ default) vs on-chip device BFS.
 
-    The device engine pays ~45ms dispatch + ~0.4ms per BFS layer on this
-    class of runtime (BENCH_NOTES.md while_loop costs), and is only exact
-    for radius-bounded termination (MAX_KMERS admission order and lastKmers
-    collection are inherently sequential, TerminationMode.java:38-39). Gene
-    environments are typically DEEP and NARROW (wiki example: 93k layers x
-    frontier <= 31) -- host FIFO territory. The device engine wins in the
-    WIDE-SHALLOW regime: many simultaneous seeds with a small radius cap
-    (e.g. recipient-visualiser's default maxradius=1000 over whole
-    metagenome sequence sets, RecipientVisualiser.java:65-68).
+    SETTLED BY MEASUREMENT, round 5 (scripts/profile_dense_bfs.py, real
+    chip, identical workloads, visited sets equal across all engines):
 
-    Policy (mirrors the FMT contraction auto-route, algo/fmt.py):
-      MC_DEVICE_BFS=1 forces the device engine (when semantics allow),
-      MC_DEVICE_BFS=0 forces host; otherwise auto-route to the device when
-      seeds >= MC_DEVICE_BFS_MIN_SEEDS (default 500000) and max_radius <=
-      MC_DEVICE_BFS_MAX_RADIUS (default 2000).
+      workload (radius 50)        host C++   dense device     probe device
+      A: 400K map,   4K seeds     0.148 s    3.57 s           4.88 s
+      B: 400K map,  65K seeds     0.242 s    2.51 s           --
+      C:   2M map, 500K seeds     1.41 s     6.56 s (+1.24 s  --
+                                             amortizable build)
 
-    Threshold provenance (MEASURED round 4, bench.py --phase bfs-device, the
-    first recorded on-chip runs): dispersed 4096-seed radius-50 workload
-    over a 400K-kmer map ran 30.0 s on device vs 0.16 s host C++ FIFO;
-    after the combined insert-and-membership-test, 0.25-load tables, and a
-    right-sized frontier cap the same workload runs 4.9 s -- still ~32x
-    slower than host. The per-layer device cost is random-gather probe
-    rounds (~54 ns/lane HBM gather) over frontier_cap x 8 static lanes,
-    which the host engine (~0.6 us/expansion) only matches at frontiers
-    around 10^5+ lanes/layer. Hence the (conservative) default min-seeds of
-    500K: the device engine is profitable only for massive simultaneous
-    floods, not per-gene environments.
+    Workload C IS the 500K-seed regime round 4's auto-route threshold
+    extrapolated to; measured, the host C++ FIFO still wins ~5.5x. The
+    dense engine (ops/bfs_dense.py: precomputed sort-merge-join adjacency +
+    bitmap layers, no probe loops) supersedes the probe engine everywhere
+    measured, but its per-layer cost is O(map) (~8.5 ns/candidate-lane
+    gather over 2N x 8 lanes), so saturating floods with straggler layers
+    still lose to the host's ~0.6 us/expansion on only-the-frontier. There
+    is NO realistic auto-route regime on this hardware class: the device
+    engines are DEMOTED to validated reference implementations (VERDICT r4
+    next-round #1, demotion arm). They remain the design basis for
+    multi-chip frontier sharding, where per-layer O(map/devices) changes
+    the economics.
+
+    Policy: MC_DEVICE_BFS=1 forces the device engine (when semantics
+    allow -- MAX_KMERS/lastKmers are admission-order dependent and stay
+    host-only, TerminationMode.java:38-39); MC_DEVICE_BFS=0 or unset runs
+    the host FIFO. Auto-routing only activates when the operator explicitly
+    sets MC_DEVICE_BFS_MIN_SEEDS (no default threshold: the measured sweep
+    found no winning regime to encode).
     """
     import os
     if max_kmers is not None or trim:
@@ -296,9 +297,11 @@ def route_device_bfs(n_seeds: int, max_radius: int | None,
         return True
     if max_radius is None:
         return False
-    min_seeds = int(os.environ.get("MC_DEVICE_BFS_MIN_SEEDS", "500000"))
+    min_seeds_env = os.environ.get("MC_DEVICE_BFS_MIN_SEEDS")
+    if min_seeds_env is None:
+        return False  # demoted: no auto-route without explicit opt-in
     max_r = int(os.environ.get("MC_DEVICE_BFS_MAX_RADIUS", "2000"))
-    return n_seeds >= min_seeds and max_radius <= max_r
+    return n_seeds >= int(min_seeds_env) and max_radius <= max_r
 
 
 @dataclass
@@ -356,9 +359,13 @@ def build_environment(sequences: list[str], k: int, kmap: KmerMap,
     use_device = route_device_bfs(len(seeds), max_radius, max_kmers, trim)
     device_table = None
     if use_device and seeds:
-        # build the device table once; both direction passes probe it
-        from ..ops.hashtable import DeviceHashTable
-        device_table = DeviceHashTable.from_kmer_map(kmap)
+        import os as _os
+        if _os.environ.get("MC_DEVICE_BFS_ENGINE", "dense") == "probe":
+            # probe engine: build the device table once; both direction
+            # passes probe it (the dense engine caches its adjacency on
+            # the kmap itself)
+            from ..ops.hashtable import DeviceHashTable
+            device_table = DeviceHashTable.from_kmer_map(kmap)
     for direction in dirs:
         if not use_device:
             # reference-exact FIFO engine (fast scalar loop; exact admission
@@ -366,16 +373,26 @@ def build_environment(sequences: list[str], k: int, kmap: KmerMap,
             res = bfs_fifo(seeds, kmap, k, min_occ, direction,
                            max_radius, max_kmers, collect_last=trim)
         else:
-            # whole-BFS single device dispatch (ops/bfs_device.py); exact for
-            # radius-only termination, order-dependent modes stay on host
-            from ..ops.bfs_device import run_device_bfs
+            # whole-BFS single device dispatch; exact for radius-only
+            # termination, order-dependent modes stay on host. Engine:
+            # 'dense' (default; precomputed-adjacency bitmap layers,
+            # ops/bfs_dense.py) or 'probe' (legacy open-addressing gather
+            # rounds, ops/bfs_device.py -- kept as the measured-dominated
+            # reference implementation, see ENGINES.md)
+            import os as _os
             sarr = np.array(seeds, np.int64)
             if sarr.size == 0:
                 res = BfsResult(np.empty(0, np.int64), np.empty(0, np.int64),
                                 fail=True)
-            else:
+            elif _os.environ.get("MC_DEVICE_BFS_ENGINE", "dense") == "probe":
+                from ..ops.bfs_device import run_device_bfs
                 vis = run_device_bfs(sarr, device_table, k, min_occ,
                                      direction, max_radius)
+                res = BfsResult(vis, np.empty(0, np.int64))
+            else:
+                from ..ops.bfs_dense import run_dense_bfs
+                vis = run_dense_bfs(sarr, kmap, k, min_occ, direction,
+                                    max_radius)
                 res = BfsResult(vis, np.empty(0, np.int64))
         if res.fail:
             continue

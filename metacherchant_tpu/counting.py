@@ -158,6 +158,25 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
             buffer_cap = total - store_cap
         counter = StreamCounter(buffer_cap=buffer_cap, store_cap=store_cap)
         sink = lambda codes: counter.add_codes(codes, k, hasher)
+    elif engine == "chunk":
+        # multi-batch fused dispatch: one extract+append call per buffer
+        # fill (ops/sortcount.ChunkedStreamCounter); same consolidation
+        # units and geometry envs as 'sort'
+        from .ops.sortcount import ChunkedStreamCounter
+        buf_env = os.environ.get("MC_SORT_BUF_LANES")
+        store_env = os.environ.get("MC_SORT_STORE_LANES")
+        store_cap = int(store_env) if store_env else (1 << table_log2)
+        if buf_env:
+            buffer_cap = int(buf_env)
+        else:
+            min_buf = max((1 << (table_log2 + 2)) - store_cap,
+                          2 * batch * max_len)
+            total = 1 << int(np.ceil(np.log2(min_buf + store_cap)))
+            buffer_cap = total - store_cap
+        counter = ChunkedStreamCounter(batch, max_len,
+                                       buffer_cap=buffer_cap,
+                                       store_cap=store_cap)
+        sink = lambda codes: counter.add_codes(codes, k, hasher)
     elif engine == "merge":
         from .ops.mergecount import MergeCounter
         counter = MergeCounter(
@@ -176,11 +195,16 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
                         total_bytes=total_bytes)
     buf: list[np.ndarray] = []
 
+    # the chunk engine packs batches host-side before its fused dispatch, so
+    # hand it numpy directly (a jax->numpy round trip per batch would stall
+    # on this rig's readback path); every other engine gets device arrays
+    to_dev = (lambda x: x) if engine == "chunk" else jnp.asarray
+
     def flush():
         if not buf:
             return
         packed = pack_reads(buf, batch, max_len)
-        sink(jnp.asarray(packed))
+        sink(to_dev(packed))
         progress.update(len(buf))
         buf.clear()
 
@@ -189,7 +213,7 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
         if nb is not None:
             flush()  # keep batches file-aligned on the native path
             for packed in nb:
-                sink(jnp.asarray(packed))
+                sink(to_dev(packed))
                 progress.update(batch)
         else:
             for frag in iter_fragments([f], k, min_len, max_len):
@@ -199,7 +223,7 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
         if os.path.exists(f):
             progress.advance_bytes(os.path.getsize(f))
     flush()
-    if engine in ("sort", "merge", "sharded"):
+    if engine in ("sort", "merge", "chunk", "sharded"):
         keys, counts = (counter.items_host() if engine == "sharded"
                         else counter.finalize())
     else:

@@ -73,6 +73,55 @@ def load_classifier_graph(tool: Tool, input_files: list[str], k: int,
     return kmap, hasher
 
 
+def _classified_stream(files: list[str], kmap: KmerMap, k: int,
+                       hasher: str | None, z: float, thr: float, corr: bool):
+    """Yield (b1, b2, found1, found2) per batch pair, classification run on a
+    small thread pool with bounded prefetch.
+
+    The reference classifies one task per pair on every core
+    (src/tools/ReadsClassifier.java:158-187); here each find_reads call is a
+    batch of 8192 reads of numpy/probe-table work that releases the GIL, so
+    a pool of MC_CLASSIFY_THREADS workers (default: the host's cores)
+    overlaps the two mates' classification and lets the writer thread drain
+    finished batches while the next ones compute. Results are consumed IN
+    SUBMISSION ORDER, so the six bin files stay byte-identical to the
+    sequential path (pinned in tests/test_classify.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+    import collections
+
+    workers = int(os.environ.get("MC_CLASSIFY_THREADS",
+                                 str(min(os.cpu_count() or 2, 8))))
+    it = iter_read_batch_pairs(files, CLASSIFY_BATCH)
+    if workers <= 1:
+        for b1, b2 in it:
+            yield (b1, b2,
+                   find_reads(b1, kmap, k, hasher, z, thr, corr),
+                   find_reads(b2, kmap, k, hasher, z, thr, corr))
+            del b1, b2  # drop the generator's stale refs before the packer
+            #            builds the next pair (keeps peak at one pair)
+        return
+
+    def work(b):
+        return find_reads(b, kmap, k, hasher, z, thr, corr)
+
+    # bounded prefetch: each mate is its own task. On a 2-core host the win
+    # is mate-vs-mate parallelism (depth 0: no pair queued beyond the one
+    # being consumed); wider hosts also pipeline ahead one pair per 2 spare
+    # workers. Deeper queues only add memory (the streams-constant-memory
+    # test pins the O(batch) bound).
+    depth = max(workers // 2 - 1, 0)
+    with ThreadPoolExecutor(workers) as ex:
+        q: collections.deque = collections.deque()
+        for b1, b2 in it:
+            q.append((b1, b2, ex.submit(work, b1), ex.submit(work, b2)))
+            while len(q) > depth:
+                p1, p2, fu1, fu2 = q.popleft()
+                yield p1, p2, fu1.result(), fu2.result()
+        while q:
+            p1, p2, fu1, fu2 = q.popleft()
+            yield p1, p2, fu1.result(), fu2.result()
+
+
 class ReadsClassifier(Tool):
     NAME = "reads-classifier"
     DESCRIPTION = "classifies reads based on weighted De Bruijn graph"
@@ -135,9 +184,8 @@ class ReadsClassifier(Tool):
                    for name in ("found_1", "found_2", "not_found_1",
                                 "not_found_2", "found_s", "not_found_s")}
         try:
-            for b1, b2 in iter_read_batch_pairs(files, CLASSIFY_BATCH):
-                f1 = find_reads(b1, kmap, k, hasher, z, thr, corr)
-                f2 = find_reads(b2, kmap, k, hasher, z, thr, corr)
+            for b1, b2, f1, f2 in _classified_stream(
+                    files, kmap, k, hasher, z, thr, corr):
                 # single-end convention (PairFinder.java:42-44)
                 f2 = np.where(b2.lengths == 0, ~f1, f2)
                 # Vectorized bin routing: partition the batch by (f1, f2)

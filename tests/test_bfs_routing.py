@@ -18,20 +18,19 @@ def test_force_flags(monkeypatch):
     assert not route_device_bfs(1_000_000, 10, None, False)
 
 
-def test_auto_route_wide_shallow(monkeypatch):
+def test_auto_route_demoted_by_default(monkeypatch):
+    """Round-5 demotion: the measured sweep (scripts/profile_dense_bfs.py)
+    found NO workload where the device engines beat the host C++ FIFO --
+    including the 500K-seed flood regime round 4's threshold extrapolated
+    to (host 1.41 s vs dense 6.56 s). Without an explicit
+    MC_DEVICE_BFS_MIN_SEEDS opt-in, every shape routes host."""
     monkeypatch.delenv("MC_DEVICE_BFS", raising=False)
-    # wiki-shaped deep run: huge radius -> host
+    monkeypatch.delenv("MC_DEVICE_BFS_MIN_SEEDS", raising=False)
     assert not route_device_bfs(3000, 100_000, None, False)
-    # unbounded radius -> host
     assert not route_device_bfs(100_000, None, None, False)
-    # massive simultaneous flood: device (threshold measured round 4 --
-    # the on-chip per-layer flat cost only amortizes near 10^6-lane
-    # frontiers, see route_device_bfs docstring)
-    assert route_device_bfs(600_000, 1000, None, False)
-    # mid-size seeding (recipient-visualiser shape): HOST -- measured 190x
-    # faster at 4096 seeds (BENCH_NOTES r4)
+    # the formerly auto-routed massive flood now also stays host
+    assert not route_device_bfs(600_000, 1000, None, False)
     assert not route_device_bfs(5000, 1000, None, False)
-    # narrow seeds -> host
     assert not route_device_bfs(100, 1000, None, False)
 
 

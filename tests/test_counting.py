@@ -50,6 +50,45 @@ def test_device_vs_host_counting(tmp_path, genome):
     assert np.array_equal(dev.counts, host.counts)
 
 
+def test_chunk_engine_equals_sort_and_host(tmp_path, genome):
+    """MC_COUNT_ENGINE=chunk (multi-batch fused append) is key/count
+    identical to the sort engine and the host oracle, across partial final
+    chunks and mid-stream consolidations."""
+    rng = np.random.default_rng(5)
+    reads = _random_reads(rng, 333, 80, genome)  # 333 % batch != 0
+    reads[2] = reads[2][:11] + "N" + reads[2][12:]
+    path = str(tmp_path / "reads.fastq")
+    _write_fastq(path, reads)
+    k = 21
+    chunk = count_kmers_device([path], k, None, batch=32, max_len=64,
+                               table_log2=10, engine="chunk")
+    host = count_kmers_host([path], k, None)
+    assert np.array_equal(chunk.keys, host.keys)
+    assert np.array_equal(chunk.counts, host.counts)
+
+
+def test_chunked_stream_counter_direct():
+    """ChunkedStreamCounter with an explicit small chunk_batches matches
+    StreamCounter batch-for-batch, including chunk-boundary consolidation."""
+    from metacherchant_tpu.ops.sortcount import (
+        StreamCounter, ChunkedStreamCounter)
+    rng = np.random.default_rng(9)
+    k = 15
+    batches = [rng.integers(0, 4, size=(16, 40)).astype(np.int32)
+               for _ in range(11)]
+    sc = StreamCounter(buffer_cap=4096, store_cap=1024)
+    ck = ChunkedStreamCounter(16, 40, chunk_batches=3,
+                              buffer_cap=4096, store_cap=1024)
+    import jax.numpy as jnp
+    for b in batches:
+        sc.add_codes(jnp.asarray(b), k, None)
+        ck.add_codes(b, k, None)
+    k1, c1 = sc.finalize()
+    k2, c2 = ck.finalize()
+    assert np.array_equal(k1, k2)
+    assert np.array_equal(c1, c2)
+
+
 @pytest.mark.parametrize("hasher", ["poly", "fnv1a"])
 def test_device_vs_host_counting_hashed(tmp_path, genome, hasher):
     rng = np.random.default_rng(1)
