@@ -168,8 +168,15 @@ def build_sharded_table(kmap, mesh: Mesh, capacity_log2: int | None = None):
 
 def run_sharded_bfs(seed_codes: np.ndarray, kmap, k: int, min_occ: int,
                     direction: int, max_radius: int | None,
-                    mesh: Mesh | None = None) -> np.ndarray:
-    """Host wrapper: sorted oriented visited codes across all shards."""
+                    mesh: Mesh | None = None,
+                    frontier_cap: int | None = None) -> np.ndarray:
+    """Host wrapper: sorted oriented visited codes across all shards.
+
+    frontier_cap bounds the per-shard per-layer frontier; the default (2x
+    the per-shard map size) is always safe but oversized for sparse
+    seedings -- the per-layer bucket/scatter lanes scale with cap*D, so a
+    tight cap matters on a live chip (overflow is detected on device and
+    raised here, never silently dropped)."""
     from .sharded_count import make_mesh
     mesh = mesh or make_mesh()
     n = mesh.devices.size
@@ -179,7 +186,10 @@ def run_sharded_bfs(seed_codes: np.ndarray, kmap, k: int, min_occ: int,
     tkeys, tcnts = build_sharded_table(kmap, mesh)
 
     est = max(len(kmap), 1)
-    frontier_cap = 1 << max(int(np.ceil(np.log2(2 * est / n + 2))) + 1, 6)
+    if frontier_cap is None:
+        frontier_cap = 1 << max(int(np.ceil(np.log2(2 * est / n + 2))) + 1, 6)
+    else:
+        frontier_cap = 1 << int(np.ceil(np.log2(max(frontier_cap, 64))))
     visited_log2 = max(int(np.ceil(np.log2(2 * est / n / 0.5 + 2))) + 1, 6)
     D = 8 if direction == 0 else 4
     bucket_cap = max((frontier_cap * D) // n * 2, 64)

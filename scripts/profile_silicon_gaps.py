@@ -149,7 +149,11 @@ def run_sharded(with_count: bool = True):
 
     def one():
         t0 = time.perf_counter()
-        vis = run_sharded_bfs(seeds, kmap, k, 1, 0, radius, mesh=mesh)
+        # tight frontier cap: ~1K seeds never widen past ~8K lanes/shard;
+        # the default 2x-map cap made per-layer bucket/scatter lanes so
+        # large the real-TPU worker watchdog killed the step
+        vis = run_sharded_bfs(seeds, kmap, k, 1, 0, radius, mesh=mesh,
+                              frontier_cap=8192)
         return time.perf_counter() - t0, vis
 
     t_first, vis = one()
