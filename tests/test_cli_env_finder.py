@@ -158,25 +158,33 @@ def test_bothdirs_superset(synthetic):
     assert set(e1) <= set(e2)
 
 
-@pytest.mark.parametrize("k,extra", [(21, []), (33, ["--forcehash", "true"])])
-def test_cli_device_bfs_matches_host(synthetic, monkeypatch, k, extra):
+@pytest.mark.parametrize("k,extra,engine", [
+    (21, [], "dense"),      # exact regime, default forced engine
+    (21, [], "probe"),      # exact regime, legacy probe engine
+    (33, ["--forcehash", "true"], "probe"),  # hashed regime (probe-only)
+])
+def test_cli_device_bfs_matches_host(synthetic, monkeypatch, k, extra,
+                                     engine):
     """MC_DEVICE_BFS=1 routes the BFS through the whole-environment device
-    engines (exact: ops/bfs_device.py; hashed: ops/bfs_hashed.py multiword);
-    graph.txt must be identical to the host-engine run."""
+    engines (dense: ops/bfs_dense.py; probe: ops/bfs_device.py; hashed:
+    ops/bfs_hashed.py multiword); graph.txt must be identical to the
+    host-engine run for EVERY engine choice."""
     tmp, reads_path, gene_path, gene = synthetic
+    monkeypatch.setenv("MC_DEVICE_BFS_ENGINE", engine)
     outs = {}
     for tag, dev in (("host", None), ("dev", "1")):
         if dev:
             monkeypatch.setenv("MC_DEVICE_BFS", dev)
         else:
             monkeypatch.delenv("MC_DEVICE_BFS", raising=False)
-        out = str(tmp / f"out_devbfs_{k}_{tag}")
+        out = str(tmp / f"out_devbfs_{k}_{engine}_{tag}")
         rc = runner_main([
             "-t", "environment-finder",
             "-k", str(k), "-i", reads_path, "--seq", gene_path,
             "-o", out, "--coverage", "2", "--maxradius", "30",
-            "--work-dir", str(tmp / f"wd_devbfs_{k}_{tag}"),
-        ] + (["--forcehash", "true"] if k > 31 or extra else []))
+            "--work-dir", str(tmp / f"wd_devbfs_{k}_{engine}_{tag}"),
+        ] + (["--forcehash", "true"] if k > 31 or extra else []),
+        )
         assert rc == 0
         outs[tag] = load_graph_txt(os.path.join(out, "mygene", "graph.txt"))
     assert outs["dev"] == outs["host"] and outs["host"]
