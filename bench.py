@@ -667,6 +667,9 @@ def phase_bfs_genome() -> None:
     # distinct so no growth; see GEOMETRY + scripts/profile_sort2_ceiling)
     os.environ.setdefault("MC_SORT_BUF_LANES", str((1 << 23) - (1 << 21)))
     os.environ.setdefault("MC_SORT_STORE_LANES", str(1 << 21))
+    # 150 bp reads in a (B, 256) batch waste ~40% of every consolidation on
+    # SENTINEL lanes; pack at L=160 instead (counting.py MC_COUNT_MAX_LEN)
+    os.environ.setdefault("MC_COUNT_MAX_LEN", "160")
     import numpy as np
     import metacherchant_tpu  # noqa: F401
     from metacherchant_tpu.runner import main as runner_main

@@ -120,6 +120,13 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
     """
     import os
     engine = engine or os.environ.get("MC_COUNT_ENGINE", "sort")
+    if max_len == DEFAULT_LEN and os.environ.get("MC_COUNT_MAX_LEN"):
+        # packing-density knob: a (B, L) batch appends B*L buffer lanes but
+        # only B*(true_len-k+1) real keys; short-read inputs (150 bp
+        # Illumina vs the 256 default) waste ~40% of every consolidation on
+        # SENTINEL lanes. Long fragments still chunk with k-1 overlap, so
+        # any L >= k is correct (test_counting.py pins equality).
+        max_len = max(int(os.environ["MC_COUNT_MAX_LEN"]), 64)
     if engine == "sharded":
         # multi-chip: per-host disjoint file shards, DP batches over the
         # global mesh, hash-sharded table with all_to_all key routing

@@ -67,6 +67,22 @@ def test_chunk_engine_equals_sort_and_host(tmp_path, genome):
     assert np.array_equal(chunk.counts, host.counts)
 
 
+def test_count_max_len_env_equals_host(tmp_path, genome, monkeypatch):
+    """MC_COUNT_MAX_LEN repacks batches at a tighter width; counts must be
+    identical to the host oracle (long fragments still chunk with k-1
+    overlap)."""
+    rng = np.random.default_rng(11)
+    reads = _random_reads(rng, 150, 120, genome)  # 120bp > the 96 cap below
+    path = str(tmp_path / "reads.fastq")
+    _write_fastq(path, reads)
+    k = 21
+    monkeypatch.setenv("MC_COUNT_MAX_LEN", "96")
+    dev = count_kmers_device([path], k, None, batch=64, table_log2=10)
+    host = count_kmers_host([path], k, None)
+    assert np.array_equal(dev.keys, host.keys)
+    assert np.array_equal(dev.counts, host.counts)
+
+
 def test_chunked_stream_counter_direct():
     """ChunkedStreamCounter with an explicit small chunk_batches matches
     StreamCounter batch-for-batch, including chunk-boundary consolidation."""
