@@ -197,9 +197,31 @@ def _consolidate_full_split(store_keys, store_cnts, buf, offset):
     signatures); everything else is elementwise + one native cumsum, so the
     only expensive compile per geometry is the bare two-operand sort --
     measured to compile (and cache) up to 2^24 lanes on this rig
-    (scripts/profile_sort2_ceiling.py)."""
+    (scripts/profile_sort2_ceiling.py).
+
+    MC_SORT_COMPACTION=shift swaps the SECOND full sort (which only
+    compacts run-lasts to the front; the survivors are already in key
+    order) for the merge path's binary-decomposed shift stages --
+    elementwise selects instead of a true sort. MEASURED round 5 at the
+    2^24 geometry (real chip, isolated, warm): cumsum+sort2 compaction
+    133 ms vs prefix+24 shift stages 127 ms -- parity; XLA's sort runs
+    near the same bandwidth as 24 full elementwise traversals, so sort2
+    stays the default (fewer dispatches, one shared compiled unit). The
+    shift path is kept wired + equality-pinned for runtimes with slower
+    sorts. Requires a power-of-two total; any other total uses sort2."""
     all_keys, all_w = _prep_kernel(store_keys, store_cnts, buf, offset)
     s, w = _sort2_kernel(all_keys, all_w)
+    import os
+    n = all_keys.shape[0]
+    if (os.environ.get("MC_SORT_COMPACTION") == "shift"
+            and (n & (n - 1)) == 0):
+        key2, pref2, d = _prefix_mark_kernel(s, w)
+        j = 0
+        while (1 << j) < n:
+            g = min(4, n.bit_length() - 1 - j)
+            key2, pref2, d = _shift_group_kernel(key2, pref2, d, j, g)
+            j += g
+        return _diff_finish_kernel(key2, pref2)
     key2, pref2 = _cumsum_mark_kernel(s, w)
     keys_c, prefs_c = _sort2_kernel(key2, pref2)
     return _diff_finish_kernel(keys_c, prefs_c)

@@ -67,6 +67,37 @@ def test_chunk_engine_equals_sort_and_host(tmp_path, genome):
     assert np.array_equal(chunk.counts, host.counts)
 
 
+@pytest.mark.parametrize("compaction", ["shift", "sort2"])
+def test_consolidation_compaction_modes_equal(genome, monkeypatch,
+                                              compaction):
+    """MC_SORT_COMPACTION=shift (binary-decomposed shift stages) and the
+    sort2 compaction produce identical stores at a power-of-two total;
+    non-pow2 totals silently use sort2 (the guard in
+    _consolidate_full_split)."""
+    import jax.numpy as jnp
+    from metacherchant_tpu.ops.sortcount import StreamCounter
+    monkeypatch.setenv("MC_SORT_COMPACTION", compaction)
+    rng = np.random.default_rng(3)
+    k = 15
+    sc = StreamCounter(buffer_cap=3072, store_cap=1024)  # total 4096 = 2^12
+    assert ((sc.buffer_cap + sc.store_cap) & (sc.buffer_cap + sc.store_cap - 1)) == 0
+    batches = [rng.integers(0, 4, size=(8, 64)).astype(np.int32)
+               for _ in range(9)]
+    for b in batches:
+        sc.add_codes(jnp.asarray(b), k, None)
+    keys, counts = sc.finalize()
+    # host oracle over the same batches
+    from metacherchant_tpu.counting import _count_codes_into
+    want: dict[int, int] = {}
+    for b in batches:
+        for row in b:
+            _count_codes_into(want, row, k, None)
+    wk = np.array(sorted(want), np.int64)
+    wc = np.array([min(want[x], 32767) for x in sorted(want)], np.int32)
+    assert np.array_equal(keys, wk)
+    assert np.array_equal(counts, wc)
+
+
 def test_count_max_len_env_equals_host(tmp_path, genome, monkeypatch):
     """MC_COUNT_MAX_LEN repacks batches at a tighter width; counts must be
     identical to the host oracle (long fragments still chunk with k-1
