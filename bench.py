@@ -72,9 +72,15 @@ M_BIG = int(os.environ.get("MC_BENCH_MBIG", "112"))
 # (total <= ceiling). The genome-scale end-to-end phase pins the "small"
 # geometry via MC_SORT_*_LANES (store 2^21 holds its ~1.5M distinct k-mers
 # with no growth), so warming "small" covers it.
+# batch sizes chosen so appends fill the buffer at ~100% utilization: the
+# r5 append trim makes incoming = batch*(LEN-K+1) lanes, and consolidation
+# cost is FIXED per window (buffer+store sort lanes), so keys amortized per
+# consolidation = floor(buf/incoming)*incoming. batch 8112: 8 fills of
+# 1,833,312 = 99.9% of the 2^24-2^21 buffer (8192 gave 7 fills = 88%);
+# batch 3968: 7 fills = 99.8% of the 2^23-2^21 buffer.
 GEOMETRY = {
-    "default": (8192, (1 << 24) - (1 << 21), 1 << 21, None),   # sort2 = 2^24
-    "small":   (4096, (1 << 23) - (1 << 21), 1 << 21, None),   # sort2 = 2^23
+    "default": (8112, (1 << 24) - (1 << 21), 1 << 21, None),   # sort2 = 2^24
+    "small":   (3968, (1 << 23) - (1 << 21), 1 << 21, None),   # sort2 = 2^23
     "tiny":    (2048, 1 << 19, 1 << 19, 400000),               # sort2 = 2^20
 }
 
@@ -668,8 +674,10 @@ def phase_bfs_genome() -> None:
     os.environ.setdefault("MC_SORT_BUF_LANES", str((1 << 23) - (1 << 21)))
     os.environ.setdefault("MC_SORT_STORE_LANES", str(1 << 21))
     # 150 bp reads in a (B, 256) batch waste ~40% of every consolidation on
-    # SENTINEL lanes; pack at L=160 instead (counting.py MC_COUNT_MAX_LEN)
+    # SENTINEL lanes; pack at L=160 instead (counting.py MC_COUNT_MAX_LEN),
+    # batch 4032 so 12 fills hit 100.0% of the 2^23-2^21 append buffer
     os.environ.setdefault("MC_COUNT_MAX_LEN", "160")
+    os.environ.setdefault("MC_COUNT_BATCH", "4032")
     import numpy as np
     import metacherchant_tpu  # noqa: F401
     from metacherchant_tpu.runner import main as runner_main

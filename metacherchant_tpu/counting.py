@@ -120,6 +120,11 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
     """
     import os
     engine = engine or os.environ.get("MC_COUNT_ENGINE", "sort")
+    if batch == DEFAULT_BATCH and os.environ.get("MC_COUNT_BATCH"):
+        # companion knob to MC_COUNT_MAX_LEN: pick a batch whose appended
+        # lanes (batch*(max_len-k+1)) divide the append buffer ~evenly, so
+        # every consolidation is amortized over a full buffer
+        batch = max(int(os.environ["MC_COUNT_BATCH"]), 64)
     if max_len == DEFAULT_LEN and os.environ.get("MC_COUNT_MAX_LEN"):
         # packing-density knob: a (B, L) batch appends B*L buffer lanes but
         # only B*(true_len-k+1) real keys; short-read inputs (150 bp

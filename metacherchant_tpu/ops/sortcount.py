@@ -34,11 +34,14 @@ from .kmers import SENTINEL, canonical_kmers
 def _append_kernel(buf, offset, codes, k: int, hasher: str | None):
     """Extract keys from a (B, L) code batch and append at buf[offset:].
 
-    Invalid positions append SENTINEL (cheap: sorts to the end and is dropped
-    by consolidation). Returns (buf, new_offset).
-    """
+    The first k-1 key columns of every row are ALWAYS invalid (window j
+    covers [j-k+1, j]) and are sliced off before the append -- at L=256,
+    k=31 that is ~12% of the lanes every consolidation would otherwise
+    sort as SENTINEL padding. Remaining invalid positions (N-splits, short
+    rows) still append SENTINEL (cheap: sorts to the end and is dropped by
+    consolidation). Returns (buf, new_offset)."""
     keys, _ = canonical_kmers(codes, k, hasher)
-    flat = keys.ravel()
+    flat = keys[:, k - 1:].ravel()
     buf = jax.lax.dynamic_update_slice(buf, flat, (offset,))
     return buf, offset + flat.shape[0]
 
@@ -464,7 +467,10 @@ class StreamCounter:
         self._pending = None
 
     def add_codes(self, codes: jax.Array, k: int, hasher: str | None) -> None:
-        incoming = codes.shape[0] * codes.shape[1]
+        width = codes.shape[1] - k + 1  # first k-1 key columns are trimmed
+        if width <= 0:
+            return  # no window fits: nothing to count
+        incoming = codes.shape[0] * width
         if self._offset_host + incoming > self.buffer_cap:
             self._consolidate()
         self.buf, self.offset = _append_kernel(
@@ -550,7 +556,7 @@ def _append_multi_kernel(buf, offset, codes_chunk, k: int, hasher: str | None):
     def step(carry, codes_b):
         buf, off = carry
         keys, _ = canonical_kmers(codes_b, k, hasher)
-        flat = keys.ravel()
+        flat = keys[:, k - 1:].ravel()  # same trim as _append_kernel
         buf = jax.lax.dynamic_update_slice(buf, flat, (off,))
         return (buf, off + flat.shape[0]), jnp.int32(0)
 
@@ -577,14 +583,23 @@ class ChunkedStreamCounter:
         self.sc = StreamCounter(**stream_kw)
         self.batch = batch
         self.max_len = max_len
-        per_batch = batch * max_len
-        self.chunk_batches = (chunk_batches if chunk_batches
-                              else max(self.sc.buffer_cap // per_batch, 1))
+        self._explicit_chunk = chunk_batches
+        self.chunk_batches = chunk_batches or 1  # re-fit once k is known
         self._pending: list[np.ndarray] = []
         self._k: int | None = None
         self._hasher: str | None = None
 
+    def _per_batch(self) -> int:
+        # appended lanes per batch AFTER the k-1 column trim (see
+        # _append_kernel); requires k, hence computed lazily
+        return self.batch * max(self.max_len - self._k + 1, 0)
+
     def add_codes(self, codes, k: int, hasher: str | None) -> None:
+        if self._k is None:
+            self._k = k
+            if self._explicit_chunk is None:
+                self.chunk_batches = max(
+                    self.sc.buffer_cap // max(self._per_batch(), 1), 1)
         self._k, self._hasher = k, hasher
         self._pending.append(np.asarray(codes, np.int32))
         if len(self._pending) >= self.chunk_batches:
@@ -592,7 +607,10 @@ class ChunkedStreamCounter:
 
     def _flush(self) -> None:
         sc = self.sc
-        per_batch = self.batch * self.max_len
+        per_batch = self._per_batch()
+        if per_batch <= 0:
+            self._pending.clear()
+            return
         while self._pending:
             incoming = self.chunk_batches * per_batch
             if sc._offset_host + incoming > sc.buffer_cap:
