@@ -421,13 +421,17 @@ def _extend_environment_count(env: Environment, kmap: KmerMap,
         return 0
     cand = neighbors_codes(env.codes, env.k, 0)           # (S, 8)
     canon = canonical_codes(cand, env.k)
-    # probe-table lookups (kmer_map.get_many) for both the reads map and a
-    # small map over the environment's own canonical keys -- replaces the
-    # two np.searchsorted passes that dominated this function (~290 ns/query,
-    # BENCH_NOTES r4)
+    # one probe-table pass for coverage, then env membership ONLY where the
+    # coverage filter passed (env ⊆ map, so in-env implies covered): a
+    # sorted-array search over the filtered subset replaces round 4's
+    # second full probe-table build+pass (~60 ms of the wiki metric)
     occs = kmap.get_many(canon)
-    env_map = KmerMap.from_pairs(canonical_codes(env.codes, env.k),
-                                 np.ones(env.codes.size, np.int64))
-    in_sub = env_map.get_many(canon) >= 0
-    outside = (~in_sub) & (occs >= min_occ)
+    covered = occs >= min_occ
+    env_canon = np.sort(canonical_codes(env.codes, env.k))
+    q = canon[covered]
+    pos = np.searchsorted(env_canon, q)
+    pos = np.minimum(pos, env_canon.size - 1)
+    in_sub_cov = env_canon[pos] == q
+    outside = np.zeros(canon.shape, bool)
+    outside[covered] = ~in_sub_cov
     return int((outside.sum(axis=1) == 1).sum())
