@@ -60,17 +60,27 @@ def build_node_graph(kmers: Iterable[str], k: int,
     canonical k-mer + (k-1)-prefix index adjacency. `kmers` iteration order
     defines ids."""
     kmer_list = kmers if isinstance(kmers, list) else list(kmers)
+    n = len(kmer_list)
     rcs = _bulk_reverse_complement(kmer_list, k)
+    # per-kmer attribute lists first (bulk comprehensions), then one tight
+    # construction loop -- the per-node Python work is the remaining hot
+    # slice of genome-scale pictures after the vectorized linking
+    genes = ([bool(is_gene(s, r)) for s, r in zip(kmer_list, rcs)]
+             if is_gene else [False] * n)
+    colors = ([color_of(s) for s in kmer_list] if color_of
+              else ["GREEN" if g else None for g in genes])
+    graphss = [graphs_of(s) for s in kmer_list] if graphs_of else [None] * n
     nodes: list[Node] = []
+    append = nodes.append
     nid = 0
-    for seq, rc in zip(kmer_list, rcs):
-        gene = bool(is_gene(seq, rc)) if is_gene else False
-        color = color_of(seq) if color_of else ("GREEN" if gene else None)
-        graphs = graphs_of(seq) if graphs_of else None
+    for seq, rc, gene, color, graphs in zip(kmer_list, rcs, genes, colors,
+                                            graphss):
         a = Node(seq, nid, gene, color, graphs)
         b = Node(rc, nid + 1, gene, color, graphs)
-        a.rc, b.rc = b, a
-        nodes.extend((a, b))
+        a.rc = b
+        b.rc = a
+        append(a)
+        append(b)
         nid += 2
     _link_adjacency(nodes, kmer_list, rcs, k)
     return nodes
