@@ -81,16 +81,24 @@ def _classified_stream(files: list[str], kmap: KmerMap, k: int,
     The reference classifies one task per pair on every core
     (src/tools/ReadsClassifier.java:158-187); here each find_reads call is a
     batch of 8192 reads of numpy/probe-table work that releases the GIL, so
-    a pool of MC_CLASSIFY_THREADS workers (default: the host's cores)
-    overlaps the two mates' classification and lets the writer thread drain
-    finished batches while the next ones compute. Results are consumed IN
-    SUBMISSION ORDER, so the six bin files stay byte-identical to the
-    sequential path (pinned in tests/test_classify.py)."""
+    a pool of MC_CLASSIFY_THREADS workers overlaps the two mates'
+    classification and lets the writer thread drain finished batches while
+    the next ones compute. Results are consumed IN SUBMISSION ORDER, so the
+    six bin files stay byte-identical to the sequential path (pinned in
+    tests/test_classify.py).
+
+    Default policy MEASURED round 5 (interleaved A/B, 600K-read runs): on a
+    2-core host the mate-parallel pipeline is ~10% SLOWER than sequential
+    (GIL handoffs + cache contention beat the overlap), so hosts with <= 2
+    cores default to sequential; wider hosts default to one worker per core
+    (capped at 8), where per-pair task parallelism -- the reference's own
+    design -- has headroom. MC_CLASSIFY_THREADS overrides either way."""
     from concurrent.futures import ThreadPoolExecutor
     import collections
 
+    ncpu = os.cpu_count() or 2
     workers = int(os.environ.get("MC_CLASSIFY_THREADS",
-                                 str(min(os.cpu_count() or 2, 8))))
+                                 str(min(ncpu, 8) if ncpu > 2 else 1)))
     it = iter_read_batch_pairs(files, CLASSIFY_BATCH)
     if workers <= 1:
         for b1, b2 in it:
