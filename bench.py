@@ -380,7 +380,7 @@ def phase_main(which: str, geom: str) -> None:
         # driver invocation tracks the session-best rate instead of
         # lottery-ticketing a single rig state.
         pair_budget = float(os.environ.get("MC_BENCH_PAIR_BUDGET", "600"))
-        max_pairs = int(os.environ.get("MC_BENCH_MAX_PAIRS", "8"))
+        max_pairs = max(int(os.environ.get("MC_BENCH_MAX_PAIRS", "8")), 1)
         diffs = []
         t_big = 1e-9
         while len(diffs) < max_pairs:

@@ -104,6 +104,25 @@ def _native_batches(path: str, k: int, min_len: int, batch: int,
     return gen()
 
 
+def _sort_geometry(table_log2: int, batch: int, max_len: int
+                   ) -> tuple[int, int]:
+    """(buffer_cap, store_cap) for the sort/chunk engines: env-pinned lane
+    counts when MC_SORT_BUF_LANES / MC_SORT_STORE_LANES are set, else sized
+    from table_log2 with buffer + store at an exact power of two."""
+    import os
+    buf_env = os.environ.get("MC_SORT_BUF_LANES")
+    store_env = os.environ.get("MC_SORT_STORE_LANES")
+    store_cap = int(store_env) if store_env else (1 << table_log2)
+    if buf_env:
+        buffer_cap = int(buf_env)
+    else:
+        min_buf = max((1 << (table_log2 + 2)) - store_cap,
+                      2 * batch * max_len)
+        total = 1 << int(np.ceil(np.log2(min_buf + store_cap)))
+        buffer_cap = total - store_cap
+    return buffer_cap, store_cap
+
+
 def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
                        min_len: int = 0, batch: int = DEFAULT_BATCH,
                        max_len: int = DEFAULT_LEN,
@@ -130,8 +149,10 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
         # only B*(true_len-k+1) real keys; short-read inputs (150 bp
         # Illumina vs the 256 default) waste ~40% of every consolidation on
         # SENTINEL lanes. Long fragments still chunk with k-1 overlap, so
-        # any L >= k is correct (test_counting.py pins equality).
-        max_len = max(int(os.environ["MC_COUNT_MAX_LEN"]), 64)
+        # any L >= k is correct (test_counting.py pins equality) -- clamp
+        # to k so an env value leaked from a smaller-k phase can never
+        # produce windowless batches (silently counting nothing).
+        max_len = max(int(os.environ["MC_COUNT_MAX_LEN"]), k, 64)
     if engine == "sharded":
         # multi-chip: per-host disjoint file shards, DP batches over the
         # global mesh, hash-sharded table with all_to_all key routing
@@ -150,44 +171,26 @@ def count_kmers_device(files: Iterable[str], k: int, hasher: str | None = None,
                                  capacity_log2_per_shard=per_shard,
                                  batch=batch, max_len=max_len)
         sink = lambda codes: counter.add_codes(np.asarray(codes))
-    elif engine == "sort":
-        from .ops.sortcount import StreamCounter
+    elif engine in ("sort", "chunk"):
         # MC_SORT_BUF_LANES / MC_SORT_STORE_LANES pin raw lane counts so
         # chip runs can hit persistently-cached consolidation shapes; unset
         # -> sized from table_log2 with buffer = 2^t - store, keeping
         # buffer+store at an exact power of two (the consolidation sort2's
         # lane count), so every store size reuses one cached sort2 shape
         # per total (see bench.py GEOMETRY + scripts/profile_sort2_ceiling).
-        buf_env = os.environ.get("MC_SORT_BUF_LANES")
-        store_env = os.environ.get("MC_SORT_STORE_LANES")
-        store_cap = int(store_env) if store_env else (1 << table_log2)
-        if buf_env:
-            buffer_cap = int(buf_env)
+        # 'chunk' = the same engine with multi-batch fused dispatch
+        # (ops/sortcount.ChunkedStreamCounter): one extract+append call per
+        # buffer fill, identical consolidation units and geometry.
+        buffer_cap, store_cap = _sort_geometry(table_log2, batch, max_len)
+        if engine == "chunk":
+            from .ops.sortcount import ChunkedStreamCounter
+            counter = ChunkedStreamCounter(batch, max_len,
+                                           buffer_cap=buffer_cap,
+                                           store_cap=store_cap)
         else:
-            min_buf = max((1 << (table_log2 + 2)) - store_cap,
-                          2 * batch * max_len)
-            total = 1 << int(np.ceil(np.log2(min_buf + store_cap)))
-            buffer_cap = total - store_cap
-        counter = StreamCounter(buffer_cap=buffer_cap, store_cap=store_cap)
-        sink = lambda codes: counter.add_codes(codes, k, hasher)
-    elif engine == "chunk":
-        # multi-batch fused dispatch: one extract+append call per buffer
-        # fill (ops/sortcount.ChunkedStreamCounter); same consolidation
-        # units and geometry envs as 'sort'
-        from .ops.sortcount import ChunkedStreamCounter
-        buf_env = os.environ.get("MC_SORT_BUF_LANES")
-        store_env = os.environ.get("MC_SORT_STORE_LANES")
-        store_cap = int(store_env) if store_env else (1 << table_log2)
-        if buf_env:
-            buffer_cap = int(buf_env)
-        else:
-            min_buf = max((1 << (table_log2 + 2)) - store_cap,
-                          2 * batch * max_len)
-            total = 1 << int(np.ceil(np.log2(min_buf + store_cap)))
-            buffer_cap = total - store_cap
-        counter = ChunkedStreamCounter(batch, max_len,
-                                       buffer_cap=buffer_cap,
-                                       store_cap=store_cap)
+            from .ops.sortcount import StreamCounter
+            counter = StreamCounter(buffer_cap=buffer_cap,
+                                    store_cap=store_cap)
         sink = lambda codes: counter.add_codes(codes, k, hasher)
     elif engine == "merge":
         from .ops.mergecount import MergeCounter

@@ -141,6 +141,18 @@ def _assemble_adj(idx_flat: jax.Array, bit_flat: jax.Array, pad_id: int):
     return ids.reshape(-1, 8)
 
 
+def _join_lane_budget(np_lanes: int) -> int:
+    """Total sort lanes for one join group: 8*Np puts mid-size maps on the
+    cached 2^22..2^24 counting sort2 shapes; maps at or above 2^24 padded
+    keys fall back to 2*Np (a 2^25 sort compiles on this rig,
+    scripts/profile_sort2_ceiling.py) so the budget always exceeds the
+    store and huge maps build instead of raising."""
+    total = min(8 * np_lanes, 1 << 24)
+    if total <= np_lanes:
+        total = 2 * np_lanes
+    return total
+
+
 def _join_store(skeys_pad: jax.Array, qcanon: jax.Array, n_real: int,
                 total_lanes: int) -> jax.Array:
     """Sort-merge join of all queries against the padded sorted store.
@@ -197,10 +209,7 @@ class DenseDBG:
         keys_pad[: self.n] = self.keys_host
         kd = jnp.asarray(keys_pad)
         ocodes, qcanon, qbit = _oriented_queries(kd, k)
-        # sort lane budget: 8*Np puts the genome-scale map (Np=2^21) and the
-        # bench map (Np=2^19) exactly on the cached 2^24/2^22 sort2 shapes
-        total = min(8 * np_lanes, 1 << 24)
-        idx = _join_store(kd, qcanon, self.n, total)
+        idx = _join_store(kd, qcanon, self.n, _join_lane_budget(np_lanes))
         self.adj = _assemble_adj(idx, qbit, self.pad_id)       # (2Np, 8)
         cnts_pad = np.zeros(np_lanes, np.int64)
         cnts_pad[: self.n] = self.counts_host
@@ -219,11 +228,14 @@ class DenseDBG:
     def seed_vector(self, seed_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Host: oriented codes -> (dense bool (2Np,), out-of-map mask)."""
         seed_codes = np.asarray(seed_codes, np.int64)
+        if self.n == 0:  # empty map: every seed is out-of-map
+            return np.zeros(2 * self.np_lanes, bool), np.ones(
+                seed_codes.size, bool)
         from ..dna import revcomp_codes_np
         canon = np.minimum(seed_codes, revcomp_codes_np(seed_codes, self.k))
         pos = np.searchsorted(self.keys_host, canon)
-        pos_c = np.minimum(pos, max(self.n - 1, 0))
-        in_map = (self.n > 0) & (self.keys_host[pos_c] == canon)
+        pos_c = np.minimum(pos, self.n - 1)
+        in_map = self.keys_host[pos_c] == canon
         bit = (seed_codes != canon).astype(np.int64)
         ids = 2 * pos_c + bit
         dense = np.zeros(2 * self.np_lanes, bool)

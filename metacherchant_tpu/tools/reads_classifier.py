@@ -112,6 +112,11 @@ def _classified_stream(files: list[str], kmap: KmerMap, k: int,
     def work(b):
         return find_reads(b, kmap, k, hasher, z, thr, corr)
 
+    # build the map's lazy probe table BEFORE the pool starts: the first
+    # two mate tasks would otherwise race the unlocked lazy build and each
+    # pay the full table construction (seconds on multi-M-key maps)
+    kmap.get_many(np.zeros(1, np.int64))
+
     # bounded prefetch: each mate is its own task. On a 2-core host the win
     # is mate-vs-mate parallelism (depth 0: no pair queued beyond the one
     # being consumed); wider hosts also pipeline ahead one pair per 2 spare

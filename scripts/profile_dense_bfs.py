@@ -129,6 +129,8 @@ def run_probe(kmap, seeds, fcap_log2):
             sd, table.tkeys, table.tcnts, 1, radius, K, 0,
             1 << fcap_log2, visited_log2)
         nn = fast_scalar(count)
+        ov = fast_scalar(overflow.astype(jnp.int32))
+        assert not ov, "probe BFS frontier overflow: raise fcap"
         return time.perf_counter() - t0, nn
 
     t_first, nn = one(RADIUS)

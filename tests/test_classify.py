@@ -250,6 +250,10 @@ def test_classifier_streams_constant_memory(tmp_path):
         f.write(f">g\n{g}\n")
 
     os.environ["MC_HOST_COUNT"] = "1"
+    # pin the worker count: the default scales with os.cpu_count(), which
+    # would make this peak-memory bound measure a different configuration
+    # per host (2 workers = the threaded pipeline's memory shape)
+    os.environ["MC_CLASSIFY_THREADS"] = "2"
     try:
         tracemalloc.start()
         rc = runner_main([
@@ -262,6 +266,7 @@ def test_classifier_streams_constant_memory(tmp_path):
         tracemalloc.stop()
     finally:
         os.environ.pop("MC_HOST_COUNT", None)
+        os.environ.pop("MC_CLASSIFY_THREADS", None)
     assert rc == 0
     # materialized DnaQ lists would cost >= 2 files * 120k * ~400B >= 90MB
     # and GROW WITH FILE SIZE. The r4 native whole-read parse holds flat
