@@ -556,6 +556,12 @@ def phase_bfs_device() -> None:
 
     Staging is pure vectorized numpy (the r3 phase burned its budget in a
     per-read Python loop, VERDICT r3 weak #3).
+
+    NOTE scripts/profile_dense_bfs.py carries the exploratory superset of
+    this sweep (adds workload B, build cold/warm splits, radius-difference
+    timing); this phase is the self-contained driver-artifact version with
+    the stricter equality asserts. A change to the workload staging or
+    engine invocation belongs in BOTH.
     """
     _setup_cache()
     import numpy as np

@@ -106,8 +106,12 @@ def _link_adjacency(nodes: list[Node], kmer_list: list[str],
     if k - 1 > 31 or any(len(s) != k for s in kmer_list):
         _link_adjacency_dict(nodes, k)
         return
-    joined = "".join(kmer_list) + "".join(rcs)
-    arr = np.frombuffer(joined.encode("ascii"), np.uint8)
+    try:
+        joined = "".join(kmer_list) + "".join(rcs)
+        arr = np.frombuffer(joined.encode("ascii"), np.uint8)
+    except ValueError:  # non-ASCII: the dict path handles any strings
+        _link_adjacency_dict(nodes, k)
+        return
     lut = np.full(256, 255, np.uint8)
     for ch, v in zip(b"AGCT", range(4)):
         lut[ch] = v
@@ -159,8 +163,11 @@ def _bulk_reverse_complement(kmer_list: list[str], k: int) -> list[str]:
     # silently return wrong results (ADVICE r4)
     if n == 0 or any(len(s) != k for s in kmer_list):
         return [reverse_complement(s) for s in kmer_list]
-    arr = np.frombuffer("".join(kmer_list).encode("ascii"),
-                        np.uint8).reshape(n, k)
+    try:
+        arr = np.frombuffer("".join(kmer_list).encode("ascii"),
+                            np.uint8).reshape(n, k)
+    except ValueError:  # non-ASCII input (UnicodeEncodeError is a ValueError)
+        return [reverse_complement(s) for s in kmer_list]
     lut = np.zeros(256, np.uint8)
     for a, b in zip(b"ACGTacgt", b"TGCATGCA"):
         lut[a] = b

@@ -317,6 +317,11 @@ def run_dense_bfs(seed_codes: np.ndarray, kmap, k: int, min_occ: int,
     from .sortcount import to_host
     if seed_codes.size == 0:
         return np.empty(0, np.int64)
+    if min_occ < 0:
+        # a negative threshold admits ABSENT k-mers (map lookups return -1),
+        # which have no dense node id -- only the host engines can expand
+        # through them
+        raise ValueError("dense BFS requires min_occ >= 0")
     g = _graph_of(kmap, k)
     mr = jnp.int32(min(max_radius if max_radius is not None else (1 << 30),
                        1 << 30))
@@ -340,7 +345,8 @@ def run_dense_bfs(seed_codes: np.ndarray, kmap, k: int, min_occ: int,
             nbr = nbr[occs >= min_occ]
             if nbr.size:
                 d2, oom2 = g.seed_vector(nbr)
-                assert not oom2.any()
+                if oom2.any():  # pragma: no cover - min_occ>=0 guarantees it
+                    raise RuntimeError("dense BFS: covered neighbor not in map")
                 mr2 = jnp.int32(mr - 1)
                 v2, _, _ = dense_bfs(g.adj, elig, jnp.asarray(d2), mr2,
                                      direction)

@@ -218,16 +218,24 @@ def _consolidate_full_split(store_keys, store_cnts, buf, offset):
     n = all_keys.shape[0]
     if (os.environ.get("MC_SORT_COMPACTION") == "shift"
             and (n & (n - 1)) == 0):
-        key2, pref2, d = _prefix_mark_kernel(s, w)
-        j = 0
-        while (1 << j) < n:
-            g = min(4, n.bit_length() - 1 - j)
-            key2, pref2, d = _shift_group_kernel(key2, pref2, d, j, g)
-            j += g
-        return _diff_finish_kernel(key2, pref2)
+        return _shift_compact(s, w)
     key2, pref2 = _cumsum_mark_kernel(s, w)
     keys_c, prefs_c = _sort2_kernel(key2, pref2)
     return _diff_finish_kernel(keys_c, prefs_c)
+
+
+def _shift_compact(keys, w, group: int = 4):
+    """Run-last marking + binary-decomposed shift compaction of a SORTED
+    multiset (the merge path's tail, shared with the sort2 path's optional
+    MC_SORT_COMPACTION=shift mode). Requires a power-of-two lane count."""
+    n = keys.shape[0]
+    key2, pref2, d = _prefix_mark_kernel(keys, w)
+    j = 0
+    while (1 << j) < n:
+        g = min(group, n.bit_length() - 1 - j)
+        key2, pref2, d = _shift_group_kernel(key2, pref2, d, j, g)
+        j += g
+    return _diff_finish_kernel(key2, pref2)
 
 
 # --- merge-split consolidation: no full-width sort, no segmented scan.
@@ -361,13 +369,7 @@ def _consolidate_merge_split(store_keys, store_cnts, buf, offset, group=4):
         g = min(group, s0.bit_length())
         keys, w = _halfclean_group_kernel(keys, w, s0, g)
         s0 >>= g
-    keys, pref, d = _prefix_mark_kernel(keys, w)
-    j = 0
-    while (1 << j) < n:
-        g = min(group, n.bit_length() - 1 - j)
-        keys, pref, d = _shift_group_kernel(keys, pref, d, j, g)
-        j += g
-    return _diff_finish_kernel(keys, pref)
+    return _shift_compact(keys, w, group)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -606,6 +608,8 @@ class ChunkedStreamCounter:
             self._flush()
 
     def _flush(self) -> None:
+        if not self._pending:
+            return  # nothing ever added: _k may still be None
         sc = self.sc
         per_batch = self._per_batch()
         if per_batch <= 0:

@@ -34,10 +34,13 @@ BATCH = 8192
 BUF = (1 << 24) - (1 << 21)
 STORE = 1 << 21
 GENOME = 1_500_000
-KEYS_PER_BATCH = BATCH * LEN
-NB = BUF // KEYS_PER_BATCH          # 7 fused batches per dispatch
-M_SMALL = 2                          # chunks (= 14 batches)
-M_BIG = 16                           # chunks (= 112 batches, same as bench)
+# appended lanes per batch AFTER the r5 k-1 column trim == real windows;
+# the round-5 recorded measurement predates the trim and used B*L lanes
+# (its BENCH_NOTES rate was correctly normalized to real windows by hand)
+KEYS_PER_BATCH = BATCH * (LEN - K + 1)
+NB = BUF // KEYS_PER_BATCH          # fused batches per dispatch
+M_SMALL = 2                          # chunks
+M_BIG = 16                           # chunks
 
 
 def log(m):
