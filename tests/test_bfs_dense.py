@@ -127,3 +127,11 @@ def test_join_lane_budget_covers_huge_maps():
         total = _join_lane_budget(np_lanes)
         assert total > np_lanes, np_lanes
         assert total <= max(8 * np_lanes, 2 * np_lanes)
+
+
+def test_dense_rejects_negative_min_occ(setup):
+    """Negative coverage admits ABSENT k-mers in the host engines; the dense
+    engine has no node ids for them and must refuse loudly."""
+    kmap, seeds, k = setup
+    with pytest.raises(ValueError):
+        run_dense_bfs(seeds, kmap, k, -1, 0, 5)

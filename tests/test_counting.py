@@ -387,3 +387,12 @@ def test_stream_counter_growth_realigns_pow2_total():
     assert np.array_equal(keys, ok)
     assert np.array_equal(counts,
                           np.array([min(oracle[int(x)], 32767) for x in ok]))
+
+
+def test_chunked_counter_empty_finalize():
+    """finalize() before any add_codes must return empty arrays, not crash
+    (self-review r5: _per_batch dereferenced k=None)."""
+    from metacherchant_tpu.ops.sortcount import ChunkedStreamCounter
+    ck = ChunkedStreamCounter(64, 96, buffer_cap=4096, store_cap=1024)
+    keys, counts = ck.finalize()
+    assert keys.size == 0 and counts.size == 0
