@@ -206,16 +206,28 @@ def do_merge(nodes: list[Node], k: int,
     even check `other.deleted` before merging -- so a worklist reformulation
     produces different (equally arbitrary) unitig sets. An experiment
     confirming the divergence lives in tests/test_contraction.py.
-    """
+
+    The sweep iterates a PRE-FILTERED candidate list instead of all nodes:
+    merge_nodes never mutates neighbor lists, neighbor membership, or the
+    tag attributes (only `deleted`, `seq` and the rc pairing), so a node's
+    eligibility -- len(n.neighbors) == 1 and len(other.neighbors) == 1 and
+    tag equality -- is TIME-INVARIANT, and the reference loop visits
+    exactly the candidates in ascending order with only the dynamic
+    n.deleted check. The filtered loop therefore performs the identical
+    merge_nodes sequence (invariant verified empirically across degenerate
+    graphs; goldens + order-divergence tests pin it) while each sweep
+    costs O(candidates), not O(all nodes) -- the sweeps-to-fixpoint count
+    is unchanged."""
+    candidates = [n for n in nodes
+                  if len(n.neighbors) == 1
+                  and len(n.neighbors[0].neighbors) == 1
+                  and tag(n) == tag(n.neighbors[0])]
     while True:
         acted = False
-        for n in nodes:
-            if n.deleted or len(n.neighbors) != 1:
+        for n in candidates:
+            if n.deleted:
                 continue
-            other = n.neighbors[0]
-            if len(other.neighbors) != 1 or tag(n) != tag(other):
-                continue
-            merge_nodes(n, other, k)
+            merge_nodes(n, n.neighbors[0], k)
             acted = True
         if not acted:
             return
