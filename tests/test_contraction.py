@@ -68,3 +68,49 @@ def test_gene_barrier_never_mixes():
                  for i in range(len(n.seq) - k + 1)}
         assert len(flags) == 1  # unitigs are gene-homogeneous
         assert flags.pop() == n.is_gene
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_do_merge_prefilter_equals_literal_sweep(seed):
+    """The round-5 pre-filtered do_merge must perform the EXACT merge
+    sequence of the literal reference loop (full-node sweeps, visit-time
+    eligibility checks, no other.deleted check), including on degenerate
+    graphs with homopolymers and near-palindromes where order matters."""
+    import numpy as np
+    from metacherchant_tpu.dna import normalize
+    from metacherchant_tpu.algo.contraction import (
+        build_node_graph, do_merge, merge_nodes, _default_tag)
+
+    def literal_sweep(nodes, k, tag=_default_tag):
+        # transcription of OneSequenceCalculator.java:434-451, kept as the
+        # oracle for the filtered implementation
+        while True:
+            acted = False
+            for n in nodes:
+                if n.deleted or len(n.neighbors) != 1:
+                    continue
+                other = n.neighbors[0]
+                if len(other.neighbors) != 1 or tag(n) != tag(other):
+                    continue
+                merge_nodes(n, other, k)
+                acted = True
+            if not acted:
+                return
+
+    rng = np.random.default_rng(seed)
+    k = 11
+    glen = int(rng.integers(150, 900))
+    genome = "".join(rng.choice(list("ACGT"), glen))
+    kmers = {normalize(genome[i:i + k]) for i in range(glen - k + 1)}
+    if seed % 2:
+        kmers |= {"A" * k, normalize("AT" * (k // 2) + "A"),
+                  normalize("ACG" * (k // 3) + "AC")}
+    kmer_list = sorted(kmers)
+
+    a = build_node_graph(kmer_list, k)
+    b = build_node_graph(kmer_list, k)
+    do_merge(a, k)
+    literal_sweep(b, k)
+    state_a = [(n.deleted, n.seq, n.rc.seq) for n in a]
+    state_b = [(n.deleted, n.seq, n.rc.seq) for n in b]
+    assert state_a == state_b
