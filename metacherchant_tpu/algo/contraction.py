@@ -208,16 +208,23 @@ def do_merge(nodes: list[Node], k: int,
     confirming the divergence lives in tests/test_contraction.py.
 
     The sweep iterates a PRE-FILTERED candidate list instead of all nodes:
-    merge_nodes never mutates neighbor lists, neighbor membership, or the
-    tag attributes (only `deleted`, `seq` and the rc pairing), so a node's
-    eligibility -- len(n.neighbors) == 1 and len(other.neighbors) == 1 and
-    tag equality -- is TIME-INVARIANT, and the reference loop visits
-    exactly the candidates in ascending order with only the dynamic
-    n.deleted check. The filtered loop therefore performs the identical
-    merge_nodes sequence (invariant verified empirically across degenerate
-    graphs; goldens + order-divergence tests pin it) while each sweep
-    costs O(candidates), not O(all nodes) -- the sweeps-to-fixpoint count
-    is unchanged."""
+    merge_nodes never mutates neighbor lists or neighbor membership (only
+    `deleted`, `seq` and the rc pairing), so a node's eligibility --
+    len(n.neighbors) == 1 and len(other.neighbors) == 1 and tag equality
+    -- is TIME-INVARIANT, and the reference loop visits exactly the
+    candidates in ascending order with only the dynamic n.deleted check.
+    The filtered loop therefore performs the identical merge_nodes
+    sequence (pinned node-for-node against the literal reference sweep in
+    tests/test_contraction.py, including degenerate graphs and the
+    fmt/multi tag shapes) at O(candidates) per sweep.
+
+    CONTRACT: `tag` must read only merge-invariant attributes (is_gene,
+    color, graphs -- as every in-repo caller does). A tag reading `seq`,
+    `rc` or `deleted` would be re-evaluated at visit time by the
+    reference loop but is frozen at entry here. Under this contract every
+    live candidate merges on its first visit, so the while-loop settles
+    after one acting sweep plus one empty confirmation sweep (the
+    reference's fixpoint structure, kept verbatim)."""
     candidates = [n for n in nodes
                   if len(n.neighbors) == 1
                   and len(n.neighbors[0].neighbors) == 1

@@ -107,10 +107,26 @@ def test_do_merge_prefilter_equals_literal_sweep(seed):
                   normalize("ACG" * (k // 3) + "AC")}
     kmer_list = sorted(kmers)
 
-    a = build_node_graph(kmer_list, k)
-    b = build_node_graph(kmer_list, k)
-    do_merge(a, k)
-    literal_sweep(b, k)
-    state_a = [(n.deleted, n.seq, n.rc.seq) for n in a]
-    state_b = [(n.deleted, n.seq, n.rc.seq) for n in b]
-    assert state_a == state_b
+    # tag shapes from every in-repo caller: default (is_gene), FMT
+    # (color / (color, is_gene)), multi ((is_gene, graphs))
+    def color_of(seq):
+        return "RED" if hash(seq) % 3 == 0 else "BLUE"
+
+    def graphs_of(seq):
+        return frozenset({hash(seq) % 2})
+
+    cases = [
+        (dict(), _default_tag),
+        (dict(color_of=color_of), lambda n: n.color),
+        (dict(color_of=color_of), lambda n: (n.color, n.is_gene)),
+        (dict(graphs_of=graphs_of),
+         lambda n: (n.is_gene, n.graphs or frozenset())),
+    ]
+    for build_kw, tag in cases:
+        a = build_node_graph(kmer_list, k, **build_kw)
+        b = build_node_graph(kmer_list, k, **build_kw)
+        do_merge(a, k, tag=tag)
+        literal_sweep(b, k, tag=tag)
+        state_a = [(n.deleted, n.seq, n.rc.seq) for n in a]
+        state_b = [(n.deleted, n.seq, n.rc.seq) for n in b]
+        assert state_a == state_b, tag
