@@ -198,8 +198,15 @@ def run_sharded_bfs(seed_codes: np.ndarray, kmap, k: int, min_occ: int,
     seeds = np.asarray(seed_codes, np.int64)
     canon = np.asarray(_canonical_dev(jnp.asarray(seeds), k))
     owner = np.asarray(_owner(jnp.asarray(canon), n))
-    scap = 1 << max(int(np.ceil(np.log2(
-        max(np.bincount(owner, minlength=n).max(), 1) + 1))), 4)
+    max_bucket = int(np.bincount(owner, minlength=n).max()) if seeds.size else 0
+    if max_bucket > frontier_cap:
+        # the device frontier init copies at most frontier_cap seeds per
+        # shard; a caller-tightened cap below the seed load would SILENTLY
+        # drop seeds, so refuse loudly here (the default cap always fits)
+        raise ValueError(
+            f"frontier_cap {frontier_cap} below the densest seed shard "
+            f"({max_bucket} seeds)")
+    scap = 1 << max(int(np.ceil(np.log2(max_bucket + 1))), 4)
     sk = np.full((n, scap), SENTINEL, np.int64)
     for s in range(n):
         sel = seeds[owner == s]

@@ -213,3 +213,36 @@ def test_count_kmers_device_sharded_engine(mesh, tmp_path, monkeypatch):
     want = count_kmers_host([str(p)], 21)
     assert (got.keys == want.keys).all()
     assert (got.counts == want.counts).all()
+
+
+def test_sharded_bfs_explicit_frontier_cap(mesh):
+    """The round-5 frontier_cap parameter: a generous explicit cap matches
+    the default-cap result; an absurdly tight cap raises (overflow is
+    device-detected, never silently truncated)."""
+    import numpy as np
+    import pytest
+    from metacherchant_tpu.counting import count_sequences_host
+    from metacherchant_tpu.algo.environment import (
+        bfs_layered, seed_codes_of_sequences)
+    from metacherchant_tpu.parallel.sharded_bfs import run_sharded_bfs
+
+    k = 15
+    rng = np.random.default_rng(5)
+    genome = "".join(rng.choice(list("ACGT"), 800))
+    kmap = count_sequences_host([genome], k)
+    # dispersed seeds -> wide frontiers
+    from metacherchant_tpu.counting import seed_keys_of_sequence
+    fw = seed_keys_of_sequence(genome, k, None)
+    seeds = np.unique(fw[rng.choice(fw.size, size=300, replace=False)])
+    want = bfs_layered(seeds, kmap, k, 1, 0, 6)
+    got = run_sharded_bfs(seeds, kmap, k, 1, 0, 6, mesh, frontier_cap=4096)
+    assert np.array_equal(np.sort(want.visited), got)
+    # a cap below the densest seed shard is refused up front (a silent
+    # init truncation would drop seeds)
+    with pytest.raises(ValueError):
+        run_sharded_bfs(np.unique(fw), kmap, k, 1, 0, 6, mesh,
+                        frontier_cap=64)
+    # a cap that fits the seeds but not the layer growth trips the
+    # device-side overflow flag
+    with pytest.raises(RuntimeError):
+        run_sharded_bfs(seeds, kmap, k, 1, 0, 6, mesh, frontier_cap=64)
