@@ -36,6 +36,12 @@ def log(m):
 def main():
     hasher = sys.argv[1] if len(sys.argv) > 1 else "poly"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 55
+    # batch override: r5 buffer-fill tuning -- appended lanes are
+    # batch*(LEN-k+1) after the column trim, so pick a batch whose fills
+    # land near 100% of the 2^24-2^21 buffer (k=55: 9024 -> 8 fills 99.3%)
+    global BATCH
+    if len(sys.argv) > 3:
+        BATCH = int(sys.argv[3])
     keys_per_step = BATCH * (LEN - k + 1)
     rng = np.random.default_rng(0)
     g = rng.integers(0, 4, size=1_500_000).astype(np.int8)
