@@ -40,8 +40,11 @@ def main():
     # batch*(LEN-k+1) after the column trim, so pick a batch whose fills
     # land near 100% of the 2^24-2^21 buffer (k=55: 9024 -> 8 fills 99.3%)
     global BATCH
-    if len(sys.argv) > 3:
-        BATCH = int(sys.argv[3])
+    # default 8960 = 70*128: vector-lane aligned AND 8 fills at 98.7% of
+    # the buffer -- measured best for BOTH hashers round 5 (9024 fills
+    # marginally better but its 70.5*128 lane padding costs the poly
+    # kernel 40%; see BENCH_NOTES)
+    BATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 8960
     keys_per_step = BATCH * (LEN - k + 1)
     rng = np.random.default_rng(0)
     g = rng.integers(0, 4, size=1_500_000).astype(np.int8)
