@@ -72,11 +72,14 @@ def create_picture(subgraph: dict[str, int], gene_sequences: list[str], k: int,
     """createPicture (OneSequenceCalculator.java:326-339): build doubled-node
     graph, contract, emit seqs.fasta + graph.gfa + tsvs/.
 
-    Large environments auto-route through the device pointer-jumping
-    contraction (same policy + thresholds as the FMT pictures, algo/fmt.py;
-    measured crossover: device 3.38 s vs host sweep 5.61 s at 400K k-mers,
-    BENCH_NOTES r4). Typical capped per-gene environments stay on the
-    reference-faithful host sweep.
+    The device pointer-jumping contraction is OPT-IN (same policy as the
+    FMT pictures, algo/fmt.py): round 4 measured it winning 1.7x at 400K
+    k-mers, but the round-5 host optimizations (vectorized linking,
+    prefiltered merge, gc suspension) closed that gap (host 3.3-3.9 s vs
+    device 3.38 s + 0.8 s assembly at 400K, BENCH_NOTES), so there is no
+    default auto-route threshold -- set MC_DEVICE_CONTRACT=1 or an
+    explicit MC_DEVICE_CONTRACT_MIN. Environments stay on the
+    reference-faithful host sweep by default.
 
     DOCUMENTED DIVERGENCE (ADVICE r4): the device route produces the same
     unitig SET as the host sweep but may differ in seqs.fasta/graph.gfa/tsv
@@ -90,9 +93,17 @@ def create_picture(subgraph: dict[str, int], gene_sequences: list[str], k: int,
     is_gene = gene_kmer_checker(gene_sequences, k)
     flag = os.environ.get("MC_DEVICE_CONTRACT")
     eligible = k % 2 == 1 and k <= 31
-    auto_min = int(os.environ.get("MC_DEVICE_CONTRACT_MIN", "200000"))
+    # ROUND-5 DEMOTION (measured, BENCH_NOTES "contraction re-crossover"):
+    # the r5 host optimizations (vectorized linking, prefiltered merge, gc
+    # suspension) erased the device engine's r4 1.7x win -- at 400K k-mers
+    # the host sweep now runs 3.3-3.9 s vs device 3.38 s kernel + 0.8 s
+    # assembly. Auto-routing therefore needs an EXPLICIT
+    # MC_DEVICE_CONTRACT_MIN opt-in; MC_DEVICE_CONTRACT=1 still forces.
+    auto_min_env = os.environ.get("MC_DEVICE_CONTRACT_MIN")
+    auto_min = int(auto_min_env) if auto_min_env else None
     if eligible and (flag == "1"
-                     or (flag != "0" and len(kmer_list) >= auto_min)):
+                     or (flag != "0" and auto_min is not None
+                         and len(kmer_list) >= auto_min)):
         from ..ops.contraction_device import contract_device
         nodes = contract_device(kmer_list, k, tag_of=is_gene)
     else:

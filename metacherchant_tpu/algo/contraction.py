@@ -59,30 +59,43 @@ def build_node_graph(kmers: Iterable[str], k: int,
     """initializeStructures (OneSequenceCalculator.java:387-419): two nodes per
     canonical k-mer + (k-1)-prefix index adjacency. `kmers` iteration order
     defines ids."""
+    import gc
     kmer_list = kmers if isinstance(kmers, list) else list(kmers)
     n = len(kmer_list)
     rcs = _bulk_reverse_complement(kmer_list, k)
     # per-kmer attribute lists first (bulk comprehensions), then one tight
     # construction loop -- the per-node Python work is the remaining hot
-    # slice of genome-scale pictures after the vectorized linking
-    genes = ([bool(is_gene(s, r)) for s, r in zip(kmer_list, rcs)]
-             if is_gene else [False] * n)
-    colors = ([color_of(s) for s in kmer_list] if color_of
-              else ["GREEN" if g else None for g in genes])
-    graphss = [graphs_of(s) for s in kmer_list] if graphs_of else [None] * n
-    nodes: list[Node] = []
-    append = nodes.append
-    nid = 0
-    for seq, rc, gene, color, graphs in zip(kmer_list, rcs, genes, colors,
-                                            graphss):
-        a = Node(seq, nid, gene, color, graphs)
-        b = Node(rc, nid + 1, gene, color, graphs)
-        a.rc = b
-        b.rc = a
-        append(a)
-        append(b)
-        nid += 2
-    _link_adjacency(nodes, kmer_list, rcs, k)
+    # slice of genome-scale pictures after the vectorized linking. The
+    # cyclic GC is suspended across the bulk allocation: creating 2n
+    # mutually-referencing Node objects triggers repeated full collections
+    # that find nothing (measured ~40% of build time at 400K k-mers); one
+    # normal collection after re-enabling covers anything dropped.
+    gc_was_enabled = gc.isenabled()
+    if gc_was_enabled:
+        gc.disable()
+    try:
+        genes = ([bool(is_gene(s, r)) for s, r in zip(kmer_list, rcs)]
+                 if is_gene else [False] * n)
+        colors = ([color_of(s) for s in kmer_list] if color_of
+                  else ["GREEN" if g else None for g in genes])
+        graphss = ([graphs_of(s) for s in kmer_list] if graphs_of
+                   else [None] * n)
+        nodes: list[Node] = []
+        append = nodes.append
+        nid = 0
+        for seq, rc, gene, color, graphs in zip(kmer_list, rcs, genes,
+                                                colors, graphss):
+            a = Node(seq, nid, gene, color, graphs)
+            b = Node(rc, nid + 1, gene, color, graphs)
+            a.rc = b
+            b.rc = a
+            append(a)
+            append(b)
+            nid += 2
+        _link_adjacency(nodes, kmer_list, rcs, k)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
     return nodes
 
 
@@ -225,19 +238,30 @@ def do_merge(nodes: list[Node], k: int,
     live candidate merges on its first visit, so the while-loop settles
     after one acting sweep plus one empty confirmation sweep (the
     reference's fixpoint structure, kept verbatim)."""
+    import gc
     candidates = [n for n in nodes
                   if len(n.neighbors) == 1
                   and len(n.neighbors[0].neighbors) == 1
                   and tag(n) == tag(n.neighbors[0])]
-    while True:
-        acted = False
-        for n in candidates:
-            if n.deleted:
-                continue
-            merge_nodes(n, n.neighbors[0], k)
-            acted = True
-        if not acted:
-            return
+    # suspend the cyclic GC across the merge storm (same rationale as
+    # build_node_graph: string churn triggers full collections that find
+    # nothing among the long-lived mutually-referencing nodes)
+    gc_was_enabled = gc.isenabled()
+    if gc_was_enabled:
+        gc.disable()
+    try:
+        while True:
+            acted = False
+            for n in candidates:
+                if n.deleted:
+                    continue
+                merge_nodes(n, n.neighbors[0], k)
+                acted = True
+            if not acted:
+                return
+    finally:
+        if gc_was_enabled:
+            gc.enable()
 
 
 def alive(nodes: list[Node]) -> list[Node]:
