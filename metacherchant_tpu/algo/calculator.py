@@ -88,22 +88,10 @@ def create_picture(subgraph: dict[str, int], gene_sequences: list[str], k: int,
     and record counts are identical; pinned by the threshold-crossing CLI
     test (tests/test_contraction_device.py::test_cli_auto_route_crossing).
     Set MC_DEVICE_CONTRACT=0 for byte-stable host output at any size."""
-    import os
+    from .contraction import use_device_contraction
     kmer_list = sorted(subgraph)
     is_gene = gene_kmer_checker(gene_sequences, k)
-    flag = os.environ.get("MC_DEVICE_CONTRACT")
-    eligible = k % 2 == 1 and k <= 31
-    # ROUND-5 DEMOTION (measured, BENCH_NOTES "contraction re-crossover"):
-    # the r5 host optimizations (vectorized linking, prefiltered merge, gc
-    # suspension) erased the device engine's r4 1.7x win -- at 400K k-mers
-    # the host sweep now runs 3.3-3.9 s vs device 3.38 s kernel + 0.8 s
-    # assembly. Auto-routing therefore needs an EXPLICIT
-    # MC_DEVICE_CONTRACT_MIN opt-in; MC_DEVICE_CONTRACT=1 still forces.
-    auto_min_env = os.environ.get("MC_DEVICE_CONTRACT_MIN")
-    auto_min = int(auto_min_env) if auto_min_env else None
-    if eligible and (flag == "1"
-                     or (flag != "0" and auto_min is not None
-                         and len(kmer_list) >= auto_min)):
+    if use_device_contraction(len(kmer_list), k):
         from ..ops.contraction_device import contract_device
         nodes = contract_device(kmer_list, k, tag_of=is_gene)
     else:

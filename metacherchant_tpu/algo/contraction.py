@@ -29,6 +29,42 @@ from typing import Callable, Hashable, Iterable
 
 from ..dna import reverse_complement
 
+_GC_LOCK = __import__("threading").Lock()
+_GC_DEPTH = 0
+_GC_WAS_ENABLED = False
+
+
+class _gc_suspended:
+    """Refcounted, thread-safe cyclic-GC suspension.
+
+    Creating hundreds of thousands of mutually-referencing Nodes triggers
+    repeated full collections that find nothing (~40% of build time at
+    400K k-mers). A bare disable()/enable() pair would race under the
+    per-gene thread pool (the first thread to finish would re-enable GC
+    mid-build for its siblings), so suspension is depth-counted: GC is
+    re-enabled only when the LAST suspender exits, and only if it was
+    enabled on first entry."""
+
+    def __enter__(self):
+        import gc
+        global _GC_DEPTH, _GC_WAS_ENABLED
+        with _GC_LOCK:
+            if _GC_DEPTH == 0:
+                _GC_WAS_ENABLED = gc.isenabled()
+                if _GC_WAS_ENABLED:
+                    gc.disable()
+            _GC_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        import gc
+        global _GC_DEPTH
+        with _GC_LOCK:
+            _GC_DEPTH -= 1
+            if _GC_DEPTH == 0 and _GC_WAS_ENABLED:
+                gc.enable()
+        return False
+
 
 class Node:
     __slots__ = ("seq", "id", "rc", "neighbors", "deleted", "is_gene", "color",
@@ -59,21 +95,14 @@ def build_node_graph(kmers: Iterable[str], k: int,
     """initializeStructures (OneSequenceCalculator.java:387-419): two nodes per
     canonical k-mer + (k-1)-prefix index adjacency. `kmers` iteration order
     defines ids."""
-    import gc
     kmer_list = kmers if isinstance(kmers, list) else list(kmers)
     n = len(kmer_list)
     rcs = _bulk_reverse_complement(kmer_list, k)
     # per-kmer attribute lists first (bulk comprehensions), then one tight
     # construction loop -- the per-node Python work is the remaining hot
-    # slice of genome-scale pictures after the vectorized linking. The
-    # cyclic GC is suspended across the bulk allocation: creating 2n
-    # mutually-referencing Node objects triggers repeated full collections
-    # that find nothing (measured ~40% of build time at 400K k-mers); one
-    # normal collection after re-enabling covers anything dropped.
-    gc_was_enabled = gc.isenabled()
-    if gc_was_enabled:
-        gc.disable()
-    try:
+    # slice of genome-scale pictures after the vectorized linking. GC is
+    # suspended across the bulk allocation (see _gc_suspended).
+    with _gc_suspended():
         genes = ([bool(is_gene(s, r)) for s, r in zip(kmer_list, rcs)]
                  if is_gene else [False] * n)
         colors = ([color_of(s) for s in kmer_list] if color_of
@@ -93,9 +122,6 @@ def build_node_graph(kmers: Iterable[str], k: int,
             append(b)
             nid += 2
         _link_adjacency(nodes, kmer_list, rcs, k)
-    finally:
-        if gc_was_enabled:
-            gc.enable()
     return nodes
 
 
@@ -238,18 +264,14 @@ def do_merge(nodes: list[Node], k: int,
     live candidate merges on its first visit, so the while-loop settles
     after one acting sweep plus one empty confirmation sweep (the
     reference's fixpoint structure, kept verbatim)."""
-    import gc
     candidates = [n for n in nodes
                   if len(n.neighbors) == 1
                   and len(n.neighbors[0].neighbors) == 1
                   and tag(n) == tag(n.neighbors[0])]
-    # suspend the cyclic GC across the merge storm (same rationale as
-    # build_node_graph: string churn triggers full collections that find
-    # nothing among the long-lived mutually-referencing nodes)
-    gc_was_enabled = gc.isenabled()
-    if gc_was_enabled:
-        gc.disable()
-    try:
+    # suspend the cyclic GC across the merge storm (string churn triggers
+    # full collections that find nothing among the long-lived
+    # mutually-referencing nodes; see _gc_suspended)
+    with _gc_suspended():
         while True:
             acted = False
             for n in candidates:
@@ -259,9 +281,6 @@ def do_merge(nodes: list[Node], k: int,
                 acted = True
             if not acted:
                 return
-    finally:
-        if gc_was_enabled:
-            gc.enable()
 
 
 def alive(nodes: list[Node]) -> list[Node]:
@@ -279,3 +298,24 @@ def gene_kmer_checker(gene_seqs: list[str], k: int) -> Callable[[str, str], bool
     def check(seq: str, rc: str) -> bool:
         return seq in windows or rc in windows
     return check
+
+
+def use_device_contraction(n_kmers: int, k: int) -> bool:
+    """Shared device-contraction routing for FMT and per-gene pictures.
+
+    ROUND-5 DEMOTION (measured, BENCH_NOTES "contraction re-crossover"):
+    the r5 host optimizations (vectorized linking, prefiltered merge, gc
+    suspension) erased the device engine's r4 1.7x win -- at 400K k-mers
+    the host sweep runs 3.3-3.9 s vs device 3.38 s kernel + 0.8 s
+    assembly. Auto-routing therefore needs an EXPLICIT
+    MC_DEVICE_CONTRACT_MIN opt-in; MC_DEVICE_CONTRACT=1 still forces
+    (and =0 forces host). Device eligibility: exact regime, odd k <= 31.
+    """
+    import os
+    flag = os.environ.get("MC_DEVICE_CONTRACT")
+    eligible = k % 2 == 1 and k <= 31
+    auto_min_env = os.environ.get("MC_DEVICE_CONTRACT_MIN")
+    auto_min = int(auto_min_env) if auto_min_env else None
+    return eligible and (
+        flag == "1" or (flag != "0" and auto_min is not None
+                        and n_kmers >= auto_min))

@@ -153,21 +153,10 @@ def build_colored_picture(subgraph: dict[str, int], k: int,
         lut = dict(zip(kmer_list, colors))
         color_of = lambda s: str(lut[s])  # noqa: E731
 
-    # big pictures auto-route through the device pointer-jumping contraction;
-    # MC_DEVICE_CONTRACT=1 forces it, MC_DEVICE_CONTRACT=0 forces host
-    flag = os.environ.get("MC_DEVICE_CONTRACT")
-    eligible = k % 2 == 1 and k <= 31
-    # ROUND-5 DEMOTION (measured, BENCH_NOTES "contraction re-crossover"):
-    # the r5 host optimizations (vectorized linking, prefiltered merge, gc
-    # suspension) erased the device engine's r4 1.7x win -- at 400K k-mers
-    # the host sweep now runs 3.3-3.9 s vs device 3.38 s kernel + 0.8 s
-    # assembly. Auto-routing therefore needs an EXPLICIT
-    # MC_DEVICE_CONTRACT_MIN opt-in; MC_DEVICE_CONTRACT=1 still forces.
-    auto_min_env = os.environ.get("MC_DEVICE_CONTRACT_MIN")
-    auto_min = int(auto_min_env) if auto_min_env else None
-    use_device = eligible and (
-        flag == "1" or (flag != "0" and auto_min is not None
-                        and len(kmer_list) >= auto_min))
+    # device routing shared with the per-gene pictures
+    # (algo/contraction.py::use_device_contraction -- round-5 demotion)
+    from .contraction import use_device_contraction
+    use_device = use_device_contraction(len(kmer_list), k)
     if use_device:
         # whole-metagenome pictures are the scale case: pointer-jumping
         # contraction in one device dispatch (ops/contraction_device.py)

@@ -183,9 +183,9 @@ def run_sharded_bfs(seed_codes: np.ndarray, kmap, k: int, min_occ: int,
     axis = mesh.axis_names[0]
     if seed_codes.size == 0:
         return np.empty(0, np.int64)
-    tkeys, tcnts = build_sharded_table(kmap, mesh)
 
     est = max(len(kmap), 1)
+    requested_cap = frontier_cap
     if frontier_cap is None:
         frontier_cap = 1 << max(int(np.ceil(np.log2(2 * est / n + 2))) + 1, 6)
     else:
@@ -194,24 +194,30 @@ def run_sharded_bfs(seed_codes: np.ndarray, kmap, k: int, min_occ: int,
     D = 8 if direction == 0 else 4
     bucket_cap = max((frontier_cap * D) // n * 2, 64)
 
-    # bucket seeds by owner(canonical(seed)) host-side
-    seeds = np.asarray(seed_codes, np.int64)
+    # bucket seeds by owner(canonical(seed)) host-side. Dedup FIRST: the
+    # device frontier init dedups oriented seeds anyway (_unique_pad), so
+    # counting raw seeds against the cap would falsely refuse
+    # duplicate-heavy seed lists (seed_codes_of_sequences emits every
+    # window without dedup), and pre-deduping also shrinks the seed buffer
+    seeds = np.unique(np.asarray(seed_codes, np.int64))
     canon = np.asarray(_canonical_dev(jnp.asarray(seeds), k))
     owner = np.asarray(_owner(jnp.asarray(canon), n))
-    max_bucket = int(np.bincount(owner, minlength=n).max()) if seeds.size else 0
+    max_bucket = int(np.bincount(owner, minlength=n).max())
     if max_bucket > frontier_cap:
         # the device frontier init copies at most frontier_cap seeds per
-        # shard; a caller-tightened cap below the seed load would SILENTLY
-        # drop seeds, so refuse loudly here (the default cap always fits)
+        # shard; a caller-tightened cap below the (unique) seed load would
+        # SILENTLY drop seeds, so refuse loudly BEFORE the expensive table
+        # build (the default cap always fits: unique seeds <= map keys)
         raise ValueError(
-            f"frontier_cap {frontier_cap} below the densest seed shard "
-            f"({max_bucket} seeds)")
+            f"frontier_cap {requested_cap} (rounded {frontier_cap}) below "
+            f"the densest seed shard ({max_bucket} unique seeds)")
     scap = 1 << max(int(np.ceil(np.log2(max_bucket + 1))), 4)
     sk = np.full((n, scap), SENTINEL, np.int64)
     for s in range(n):
         sel = seeds[owner == s]
         sk[s, : sel.size] = sel
 
+    tkeys, tcnts = build_sharded_table(kmap, mesh)
     bfs = make_sharded_bfs(mesh, k, direction, frontier_cap, visited_log2,
                            bucket_cap)
     sharding = jax.NamedSharding(mesh, P(axis))

@@ -6,7 +6,7 @@ the cached sort2/cumsum shapes are key-regime agnostic); only the
 extraction/append kernel differs (fused rolling poly/fnv1a hashing,
 ops/kmers.py). Difference-method, DCE-proofed via the cross-backend probe.
 
-Usage: timeout 900 python scripts/profile_hashed_count.py [poly|fnv1a] [k]
+Usage: timeout 900 python scripts/profile_hashed_count.py [poly|fnv1a] [k] [batch]
 """
 import os
 import sys

@@ -219,11 +219,8 @@ def test_sharded_bfs_explicit_frontier_cap(mesh):
     """The round-5 frontier_cap parameter: a generous explicit cap matches
     the default-cap result; an absurdly tight cap raises (overflow is
     device-detected, never silently truncated)."""
-    import numpy as np
-    import pytest
     from metacherchant_tpu.counting import count_sequences_host
-    from metacherchant_tpu.algo.environment import (
-        bfs_layered, seed_codes_of_sequences)
+    from metacherchant_tpu.algo.environment import bfs_layered
     from metacherchant_tpu.parallel.sharded_bfs import run_sharded_bfs
 
     k = 15
